@@ -1,0 +1,83 @@
+"""End-to-end oracle tests: every output must decompress to the input
+with stock zlib (the reference's own test stance,
+go/zopfli/zopfli_test.go:35-69), and sizes must be sane.
+"""
+
+import os
+import subprocess
+import zlib
+
+import numpy as np
+import pytest
+
+import zopfli_tpu
+from zopfli_tpu import Options
+
+REF_BIN = "/tmp/refbuild/zopfli"
+
+
+def _inflate_raw(payload: bytes) -> bytes:
+    d = zlib.decompressobj(-15)
+    out = d.decompress(payload)
+    out += d.flush()
+    return out
+
+
+@pytest.mark.parametrize("fmt", ["gzip", "zlib", "deflate"])
+def test_roundtrip_all_formats(corpus, fmt):
+    for name, data in corpus.items():
+        out = zopfli_tpu.compress(data, fmt, Options(numiterations=5))
+        if fmt == "gzip":
+            back = zlib.decompress(out, 16 + 15)
+        elif fmt == "zlib":
+            back = zlib.decompress(out)
+        else:
+            back = _inflate_raw(out)
+        assert back == data, f"round trip failed for {name} [{fmt}]"
+
+
+def test_size_ceilings(corpus):
+    # The reference Go test's sanity ceilings (zopfli_test.go:38-46).
+    out = zopfli_tpu.compress(b"_foobar" * 1000, "gzip", Options())
+    assert len(out) <= 500
+    out = zopfli_tpu.compress(corpus["random_3000"], "gzip", Options())
+    assert len(out) <= 3100
+    out = zopfli_tpu.compress(b"", "gzip", Options())
+    assert len(out) <= 20
+
+
+def test_empty_gzip_exact():
+    out = zopfli_tpu.compress(b"", "gzip", Options())
+    assert zlib.decompress(out, 16 + 15) == b""
+    assert len(out) == 20  # 10 header + 2 empty fixed block + 8 trailer
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN), reason="no reference binary")
+def test_size_parity_vs_reference(corpus, tmp_path):
+    """Our --i15 output must be <= reference zopfli --i15 per file (small
+    slack allowed on tiny inputs where tie-breaking differs)."""
+    total_ours = 0
+    total_ref = 0
+    for name, data in corpus.items():
+        if not data:
+            continue
+        p = tmp_path / name
+        p.write_bytes(data)
+        subprocess.run([REF_BIN, "--i15", str(p)], check=True,
+                       capture_output=True)
+        ref_size = os.path.getsize(str(p) + ".gz")
+        ours = zopfli_tpu.compress(data, "gzip", Options(numiterations=15))
+        assert zlib.decompress(ours, 16 + 15) == data
+        total_ours += len(ours)
+        total_ref += ref_size
+        # Per-file: allow a whisker of slack for float tie-breaks.
+        assert len(ours) <= ref_size + max(4, ref_size // 200), (
+            f"{name}: ours={len(ours)} ref={ref_size}")
+    assert total_ours <= total_ref, (total_ours, total_ref)
+
+
+def test_deterministic():
+    data = b"determinism " * 500
+    a = zopfli_tpu.compress(data, "gzip", Options())
+    b = zopfli_tpu.compress(data, "gzip", Options())
+    assert a == b

@@ -1,0 +1,67 @@
+"""tpu-zopfli: a TPU-native Zopfli-class DEFLATE/zlib/gzip encoder.
+
+Public API (the analogue of the reference's ZopfliCompress,
+src/zopfli/zopfli.h:66-88 / zopfli_lib.c:28-42):
+
+    import zopfli_tpu
+    out = zopfli_tpu.compress(data, fmt="gzip", options=...)
+
+Formats: "gzip" (RFC 1952), "zlib" (RFC 1950), "deflate" (raw RFC 1951).
+Every output decompresses bit-for-bit to the input with stock zlib.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import containers
+from .deflate import Options, deflate
+from .emit import BitStream
+
+__version__ = "0.1.0"
+
+FORMATS = ("gzip", "zlib", "deflate")
+
+
+def _as_u8(data) -> np.ndarray:
+    if isinstance(data, np.ndarray) and data.dtype == np.uint8:
+        return np.ascontiguousarray(data)
+    return np.frombuffer(bytes(data), dtype=np.uint8)
+
+
+def deflate_raw(data, options: Options | None = None) -> bytes:
+    options = options or Options()
+    data = _as_u8(data)
+    out = BitStream()
+    deflate(options, 2, True, data, out)
+    return out.getvalue()
+
+
+def compress(data, fmt: str = "gzip", options: Options | None = None) -> bytes:
+    """Compress `data` into the requested container format."""
+    options = options or Options()
+    data = _as_u8(data)
+    if fmt == "deflate":
+        payload = deflate_raw(data, options)
+        result = payload
+    elif fmt == "gzip":
+        crc = containers.crc32(data)
+        payload = deflate_raw(data, options)
+        result = containers.gzip_frame(payload, crc, len(data))
+    elif fmt == "zlib":
+        adler = containers.adler32(data)
+        payload = deflate_raw(data, options)
+        result = containers.zlib_frame(payload, adler)
+    else:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    if options.tracer is not None:
+        options.tracer.summary(len(data), len(result), fmt)
+    return result
+
+
+def gzip_compress(data, options: Options | None = None) -> bytes:
+    return compress(data, "gzip", options)
+
+
+def zlib_compress(data, options: Options | None = None) -> bytes:
+    return compress(data, "zlib", options)

@@ -1,0 +1,272 @@
+"""DEFLATE stream orchestration: master blocks, splitting, emission.
+
+Semantics mirror the reference driver (src/zopfli/deflate.c:625-931):
+1 MB master blocks processed with the previous bytes visible as LZ77
+dictionary, two-phase block splitting, per-block btype choice with the
+optional fixed-tree re-parse, and the empty-block / stored-block rules.
+The parse engine is pluggable: the native host engine or the TPU kernel
+pipeline (zopfli_tpu/ops) — master blocks are the data-parallel axis for
+the device mesh (see zopfli_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from . import blocks, spec, squeeze, tree_encode
+from .emit import BitStream, reverse_bits
+from .entropy import lengths_to_symbols
+from .lz77 import LZ77Store, concat_stores
+from .utils.logging import Tracer
+
+
+@dataclass
+class Options:
+    """Encoder options (reference src/zopfli/zopfli.h:33-64, util.c:28-35)."""
+    verbose: bool = False
+    verbose_more: bool = False
+    numiterations: int = 15
+    blocksplitting: bool = True
+    blocksplittingmax: int = 15
+    # Framework extensions (no reference counterpart):
+    engine: str = "native"       # "native" (C++ host) or "tpu" (JAX/Pallas)
+    tracer: Optional[Tracer] = None
+
+
+def default_engine_factory(options: Options) -> Callable:
+    if options.engine == "tpu":
+        from .ops.engine import TpuBlockEngine
+        return TpuBlockEngine
+    from . import native
+    return native.BlockEngine
+
+
+def default_greedy(options: Options) -> Callable:
+    if options.engine == "tpu":
+        from .ops.engine import tpu_greedy
+        return tpu_greedy
+    from . import native
+    return native.greedy
+
+
+def add_non_compressed_block(final: bool, data: np.ndarray, instart: int,
+                             inend: int, out: BitStream) -> None:
+    """Stored blocks, chunked at 65535 bytes (deflate.c:625-663)."""
+    pos = instart
+    while True:
+        blocksize = min(65535, inend - pos)
+        currentfinal = pos + blocksize >= inend
+        nlen = (~blocksize) & 0xFFFF
+        out.bits(1 if (final and currentfinal) else 0, 1)
+        out.bits(0, 2)  # btype 00
+        out.align_byte()
+        header = bytes([blocksize & 0xFF, (blocksize >> 8) & 0xFF,
+                        nlen & 0xFF, (nlen >> 8) & 0xFF])
+        out.raw_bytes(header + data[pos : pos + blocksize].tobytes())
+        if currentfinal:
+            break
+        pos += blocksize
+
+
+def _emit_lz77_data(store: LZ77Store, lstart: int, lend: int,
+                    ll_lengths, d_lengths, out: BitStream) -> None:
+    """Vectorized symbol payload emission (reference AddLZ77Data).
+
+    Per symbol, up to four fields: litlen code, length extra bits, dist
+    code, dist extra bits.  Huffman codes are bit-reversed for LSB-first
+    packing.
+    """
+    ll_syms = lengths_to_symbols(ll_lengths, 15)
+    d_syms = lengths_to_symbols(d_lengths, 15)
+    ll_lengths = np.asarray(ll_lengths, dtype=np.int64)
+    d_lengths = np.asarray(d_lengths, dtype=np.int64)
+
+    lit = store.litlens[lstart:lend]
+    dist = store.dists[lstart:lend]
+    lsym = store.ll_symbol[lstart:lend]
+    dsym = store.d_symbol[lstart:lend]
+    is_match = dist != 0
+    n = len(lit)
+
+    f_vals = np.zeros((n, 4), dtype=np.uint64)
+    f_bits = np.zeros((n, 4), dtype=np.int64)
+
+    # Field 0: litlen huffman code.
+    code_len = ll_lengths[lsym]
+    f_vals[:, 0] = reverse_bits(ll_syms[lsym], code_len.astype(np.uint32))
+    f_bits[:, 0] = code_len
+    # Field 1: length extra bits (matches only).
+    lit_clip = np.minimum(lit, 258)
+    f_vals[:, 1] = np.where(is_match, spec.LENGTH_EXTRA_VALUE[lit_clip], 0)
+    f_bits[:, 1] = np.where(is_match, spec.LENGTH_EXTRA_BITS[lit_clip], 0)
+    # Field 2: dist huffman code (matches only).
+    dlen = np.where(is_match, d_lengths[dsym], 0)
+    f_vals[:, 2] = np.where(is_match,
+                            reverse_bits(d_syms[dsym], dlen.astype(np.uint32)),
+                            0)
+    f_bits[:, 2] = dlen
+    # Field 3: dist extra bits (matches only).
+    dist_clip = np.maximum(dist, 1)
+    f_vals[:, 3] = np.where(is_match, spec.dist_extra_value(dist_clip), 0)
+    f_bits[:, 3] = np.where(is_match, spec.dist_extra_bits(dist_clip), 0)
+
+    out.bits(f_vals.reshape(-1), f_bits.reshape(-1))
+
+
+def add_lz77_block(options: Options, btype: int, final: bool,
+                   store: LZ77Store, lstart: int, lend: int,
+                   out: BitStream) -> None:
+    """Emit one fixed or dynamic block (deflate.c:682-745)."""
+    if btype == 0:
+        length = store.byte_range(lstart, lend)
+        pos = 0 if lstart == lend else int(store.pos[lstart])
+        add_non_compressed_block(final, store.data, pos, pos + length, out)
+        return
+
+    out.bits(1 if final else 0, 1)
+    out.bits(btype & 1, 1)
+    out.bits((btype & 2) >> 1, 1)
+
+    if btype == 1:
+        ll_lengths, d_lengths = spec.fixed_tree_lengths()
+    else:
+        _, ll_lengths, d_lengths = blocks.get_dynamic_lengths(store, lstart, lend)
+        tree_encode.add_dynamic_tree(ll_lengths, d_lengths, out)
+
+    _emit_lz77_data(store, lstart, lend, ll_lengths, d_lengths, out)
+    # End symbol.
+    ll_syms = lengths_to_symbols(ll_lengths, 15)
+    out.bits(int(reverse_bits([ll_syms[256]], [int(ll_lengths[256])])[0]),
+             int(ll_lengths[256]))
+
+
+def add_lz77_block_auto_type(options: Options, final: bool, store: LZ77Store,
+                             lstart: int, lend: int, out: BitStream,
+                             engine_factory) -> None:
+    """Choose btype by exact cost, with fixed re-parse probe (deflate.c:747)."""
+    uncompressedcost = blocks.calculate_block_size(store, lstart, lend, 0)
+    fixedcost = blocks.calculate_block_size(store, lstart, lend, 1)
+    dyncost = blocks.calculate_block_size(store, lstart, lend, 2)
+
+    # Re-parse under the fixed-tree cost model when it might win.
+    expensivefixed = (store.size < 1000) or fixedcost <= dyncost * 1.1
+
+    if lstart == lend:
+        # Smallest empty block: fixed block with only the end symbol.
+        out.bits(1 if final else 0, 1)
+        out.bits(1, 2)
+        out.bits(0, 7)
+        return
+
+    fixedstore = None
+    if expensivefixed:
+        instart = int(store.pos[lstart])
+        inend = instart + store.byte_range(lstart, lend)
+        engine = engine_factory(store.data, instart, inend)
+        fixedstore = squeeze.lz77_optimal_fixed(engine, store.data, instart,
+                                                inend)
+        fixedcost = blocks.calculate_block_size(fixedstore, 0,
+                                                fixedstore.size, 1)
+        if hasattr(engine, "close"):
+            engine.close()
+
+    if uncompressedcost < fixedcost and uncompressedcost < dyncost:
+        add_lz77_block(options, 0, final, store, lstart, lend, out)
+    elif fixedcost < dyncost:
+        if fixedstore is not None:
+            add_lz77_block(options, 1, final, fixedstore, 0, fixedstore.size,
+                           out)
+        else:
+            add_lz77_block(options, 1, final, store, lstart, lend, out)
+    else:
+        add_lz77_block(options, 2, final, store, lstart, lend, out)
+
+
+def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
+                 instart: int, inend: int, out: BitStream,
+                 engine_factory=None, greedy_fn=None) -> None:
+    """Compress one master block (deflate.c:811-906)."""
+    engine_factory = engine_factory or default_engine_factory(options)
+    greedy_fn = greedy_fn or default_greedy(options)
+    tracer = options.tracer
+
+    if btype == 0:
+        add_non_compressed_block(final, data, instart, inend, out)
+        return
+    if btype == 1:
+        engine = engine_factory(data, instart, inend)
+        store = squeeze.lz77_optimal_fixed(engine, data, instart, inend)
+        add_lz77_block(options, 1, final, store, 0, store.size, out)
+        if hasattr(engine, "close"):
+            engine.close()
+        return
+
+    if options.blocksplitting:
+        splitpoints_uncompressed = blocks.block_split(
+            data, instart, inend, options.blocksplittingmax, greedy_fn)
+    else:
+        splitpoints_uncompressed = []
+
+    stores = []
+    totalcost = 0.0
+    bounds = [instart] + splitpoints_uncompressed + [inend]
+    splitpoints = []
+    acc = 0
+    for i in range(len(bounds) - 1):
+        start, end = bounds[i], bounds[i + 1]
+        engine = engine_factory(data, start, end)
+        trace = None
+        if tracer is not None:
+            trace = tracer.block_iteration_hook(start, end)
+        st = squeeze.lz77_optimal(engine, data, start, end,
+                                  options.numiterations, greedy_fn,
+                                  trace=trace)
+        if hasattr(engine, "close"):
+            engine.close()
+        totalcost += blocks.calculate_block_size_auto_type(st, 0, st.size)
+        stores.append(st)
+        acc += st.size
+        if i + 1 < len(bounds) - 1:
+            splitpoints.append(acc)
+
+    lz77 = concat_stores(stores)
+
+    # Second splitting attempt on the optimal parse (deflate.c:872-893).
+    if options.blocksplitting and len(splitpoints) > 1:
+        splitpoints2 = blocks.block_split_lz77(lz77, options.blocksplittingmax)
+        totalcost2 = 0.0
+        bounds2 = [0] + splitpoints2 + [lz77.size]
+        for i in range(len(bounds2) - 1):
+            totalcost2 += blocks.calculate_block_size_auto_type(
+                lz77, bounds2[i], bounds2[i + 1])
+        if totalcost2 < totalcost:
+            splitpoints = splitpoints2
+
+    bounds = [0] + splitpoints + [lz77.size]
+    for i in range(len(bounds) - 1):
+        add_lz77_block_auto_type(options, (i == len(bounds) - 2) and final,
+                                 lz77, bounds[i], bounds[i + 1], out,
+                                 engine_factory)
+        if tracer is not None:
+            tracer.block_done(bounds[i], bounds[i + 1], out.nbits)
+
+
+def deflate(options: Options, btype: int, final: bool, data: np.ndarray,
+            out: BitStream, engine_factory=None, greedy_fn=None) -> None:
+    """Full DEFLATE stream over 1 MB master blocks (deflate.c:908-931)."""
+    data = np.ascontiguousarray(np.frombuffer(bytes(data), dtype=np.uint8)
+                                if not isinstance(data, np.ndarray) else data)
+    insize = len(data)
+    i = 0
+    while True:
+        masterfinal = i + spec.MASTER_BLOCK_SIZE >= insize
+        final2 = final and masterfinal
+        size = insize - i if masterfinal else spec.MASTER_BLOCK_SIZE
+        deflate_part(options, btype, final2, data, i, i + size, out,
+                     engine_factory, greedy_fn)
+        i += size
+        if i >= insize:
+            break

@@ -1,0 +1,128 @@
+"""ctypes bindings for the native host engine (zt_host.cc).
+
+The shared library is built on demand (g++ is part of the toolchain); the
+result is cached under native/lib/.  All entry points take numpy buffers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "lib", "libzt_host.so")
+_SRC_PATH = os.path.join(_HERE, "src", "zt_host.cc")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-fPIC", "-shared",
+         "-o", _LIB_PATH, _SRC_PATH],
+        check=True,
+    )
+
+
+def lib() -> ctypes.CDLL:
+    """Load (building if needed) the native library."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB_PATH)
+                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
+            _build()
+        l = ctypes.CDLL(_LIB_PATH)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        l.zt_greedy.restype = ctypes.c_int64
+        l.zt_greedy.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u16p, u16p]
+        l.zt_block_new.restype = ctypes.c_void_p
+        l.zt_block_new.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64]
+        l.zt_block_free.restype = None
+        l.zt_block_free.argtypes = [ctypes.c_void_p]
+        l.zt_squeeze_run.restype = ctypes.c_int64
+        l.zt_squeeze_run.argtypes = [ctypes.c_void_p, f64p, f64p, u16p, u16p]
+        l.zt_crc32.restype = ctypes.c_uint32
+        l.zt_crc32.argtypes = [ctypes.c_uint32, u8p, ctypes.c_int64]
+        l.zt_adler32.restype = ctypes.c_uint32
+        l.zt_adler32.argtypes = [ctypes.c_uint32, u8p, ctypes.c_int64]
+        _lib = l
+        return _lib
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _u16ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+
+
+def greedy(data: np.ndarray, instart: int, inend: int):
+    """Greedy+lazy LZ77 parse; returns (litlens, dists) uint16 arrays."""
+    l = lib()
+    cap = max(inend - instart, 1)
+    litlens = np.empty(cap, dtype=np.uint16)
+    dists = np.empty(cap, dtype=np.uint16)
+    n = l.zt_greedy(_u8ptr(data), instart, inend, _u16ptr(litlens),
+                    _u16ptr(dists))
+    return litlens[:n].copy(), dists[:n].copy()
+
+
+class BlockEngine:
+    """Native per-block squeeze engine with memoized match candidates.
+
+    The `data` array must stay alive (and unmoved) for the lifetime of
+    this object.
+    """
+
+    def __init__(self, data: np.ndarray, instart: int, inend: int):
+        self._data = np.ascontiguousarray(data, dtype=np.uint8)
+        self._l = lib()
+        self._h = self._l.zt_block_new(_u8ptr(self._data), instart, inend)
+        self._cap = max(inend - instart, 1)
+
+    def close(self):
+        if self._h:
+            self._l.zt_block_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def squeeze_run(self, ll_cost=None, d_cost=None):
+        """One optimal-parse run.  None cost arrays select the fixed model."""
+        litlens = np.empty(self._cap, dtype=np.uint16)
+        dists = np.empty(self._cap, dtype=np.uint16)
+        if ll_cost is None:
+            llp = dp = None
+        else:
+            ll_cost = np.ascontiguousarray(ll_cost, dtype=np.float64)
+            d_cost = np.ascontiguousarray(d_cost, dtype=np.float64)
+            llp = ll_cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+            dp = d_cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        n = self._l.zt_squeeze_run(self._h, llp, dp, _u16ptr(litlens),
+                                   _u16ptr(dists))
+        return litlens[:n].copy(), dists[:n].copy()
+
+
+def crc32(data: np.ndarray, value: int = 0) -> int:
+    return int(lib().zt_crc32(value, _u8ptr(data), len(data)))
+
+
+def adler32(data: np.ndarray, value: int = 1) -> int:
+    return int(lib().zt_adler32(value, _u8ptr(data), len(data)))
