@@ -12,6 +12,21 @@ import numpy as np
 from . import entropy, spec, tree_encode
 from .lz77 import LZ77Store
 
+# Route exact cost evaluation through the native engine (the splitter
+# probes thousands of ranges; the pure-Python path below is kept as the
+# cross-checked reference implementation).
+USE_NATIVE_COSTS = True
+
+
+def _native_ctx(store: LZ77Store):
+    ctx = getattr(store, "_native_cost_ctx", None)
+    if ctx is None:
+        from . import native
+        ctx = native.CostContext(store.litlens.astype(np.uint16),
+                                 store.dists.astype(np.uint16))
+        store._native_cost_ctx = ctx
+    return ctx
+
 # Extra-bit counts per litlen symbol index 257..285 and dist symbol 0..29.
 _LL_EXTRA = np.zeros(spec.NUM_LL, dtype=np.int64)
 _LL_EXTRA[257:286] = spec.LENGTH_SYMBOL_EXTRA_BITS
@@ -44,6 +59,8 @@ def get_dynamic_lengths(store: LZ77Store, lstart: int, lend: int):
     Returns (cost_bits, ll_lengths, d_lengths).  Mirrors GetDynamicLengths
     + TryOptimizeHuffmanForRle (deflate.c:525-582).
     """
+    if USE_NATIVE_COSTS:
+        return _native_ctx(store).dynamic_lengths(lstart, lend)
     ll_counts, d_counts = store.histogram(lstart, lend)
     ll_counts[256] = 1
     ll_lengths = entropy.calculate_bit_lengths(ll_counts, 15)
@@ -69,6 +86,8 @@ def get_dynamic_lengths(store: LZ77Store, lstart: int, lend: int):
 def calculate_block_size(store: LZ77Store, lstart: int, lend: int,
                          btype: int) -> float:
     """Exact encoded size in bits of one block (deflate.c:584-608)."""
+    if USE_NATIVE_COSTS:
+        return _native_ctx(store).block_cost(lstart, lend, btype)
     result = 3.0  # bfinal + btype
     if btype == 0:
         length = store.byte_range(lstart, lend)
@@ -90,6 +109,8 @@ def calculate_block_size_auto_type(store: LZ77Store, lstart: int,
     As in the reference, the fixed-tree size is only probed for small
     blocks (<=1000 symbols) since it practically never wins on large ones.
     """
+    if USE_NATIVE_COSTS:
+        return _native_ctx(store).block_cost(lstart, lend, -1)
     uncompressed = calculate_block_size(store, lstart, lend, 0)
     # The reference gates the fixed-cost probe on the *store* size, not the
     # range size (deflate.c:615-616).

@@ -53,6 +53,17 @@ def lib() -> ctypes.CDLL:
         l.zt_block_free.argtypes = [ctypes.c_void_p]
         l.zt_squeeze_run.restype = ctypes.c_int64
         l.zt_squeeze_run.argtypes = [ctypes.c_void_p, f64p, f64p, u16p, u16p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        l.zt_cost_new.restype = ctypes.c_void_p
+        l.zt_cost_new.argtypes = [u16p, u16p, ctypes.c_int64]
+        l.zt_cost_free.restype = None
+        l.zt_cost_free.argtypes = [ctypes.c_void_p]
+        l.zt_cost_block.restype = ctypes.c_double
+        l.zt_cost_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int32]
+        l.zt_cost_dynamic_lengths.restype = ctypes.c_double
+        l.zt_cost_dynamic_lengths.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                              ctypes.c_int64, i32p, i32p]
         l.zt_crc32.restype = ctypes.c_uint32
         l.zt_crc32.argtypes = [ctypes.c_uint32, u8p, ctypes.c_int64]
         l.zt_adler32.restype = ctypes.c_uint32
@@ -118,6 +129,42 @@ class BlockEngine:
         n = self._l.zt_squeeze_run(self._h, llp, dp, _u16ptr(litlens),
                                    _u16ptr(dists))
         return litlens[:n].copy(), dists[:n].copy()
+
+
+class CostContext:
+    """Native exact block-cost evaluator over an LZ77 symbol sequence."""
+
+    def __init__(self, litlens: np.ndarray, dists: np.ndarray):
+        self._lit = np.ascontiguousarray(litlens, dtype=np.uint16)
+        self._dst = np.ascontiguousarray(dists, dtype=np.uint16)
+        self._l = lib()
+        self._h = self._l.zt_cost_new(_u16ptr(self._lit), _u16ptr(self._dst),
+                                      len(self._lit))
+
+    def close(self):
+        if self._h:
+            self._l.zt_cost_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def block_cost(self, lstart: int, lend: int, btype: int) -> float:
+        """Exact bits for one block; btype=-1 selects auto-type."""
+        return float(self._l.zt_cost_block(self._h, lstart, lend, btype))
+
+    def dynamic_lengths(self, lstart: int, lend: int):
+        """(cost_bits, ll_lengths[288], d_lengths[32]) for a dynamic block."""
+        ll = np.zeros(288, dtype=np.int32)
+        d = np.zeros(32, dtype=np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        cost = self._l.zt_cost_dynamic_lengths(
+            self._h, lstart, lend, ll.ctypes.data_as(i32p),
+            d.ctypes.data_as(i32p))
+        return float(cost), ll, d
 
 
 def crc32(data: np.ndarray, value: int = 0) -> int:

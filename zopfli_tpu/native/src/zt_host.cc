@@ -14,6 +14,7 @@
 //
 // Build: see ../build.sh (g++ -O2 -shared -fPIC).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -591,6 +592,349 @@ static uint32_t Adler32(uint32_t adler, const uint8_t* p, int64_t n) {
   return (s2 << 16) | s1;
 }
 
+// ---------------------------------------------------------------------------
+// Exact block-cost evaluation (native port of the host-side entropy stack,
+// used by the block splitter which probes thousands of candidate ranges).
+// Semantics: deflate.c:348-621 + katajainen.c + the RLE tree encoder.
+// ---------------------------------------------------------------------------
+
+constexpr int kNumLL = 288;
+constexpr int kNumD = 32;
+
+static const int kClOrder[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
+                                 11, 4,  12, 3, 13, 2, 14, 1, 15};
+
+// Exact minimum-redundancy length-limited code lengths (package-merge).
+// Tie rules match the Python reference implementation in entropy.py:
+// leaves sorted stably by (weight, symbol); a package precedes an
+// equal-weight leaf.
+static void PackageMerge(const int64_t* freqs, int n, int maxbits,
+                         int32_t* lengths) {
+  std::vector<int> used;
+  for (int i = 0; i < n; ++i) {
+    lengths[i] = 0;
+    if (freqs[i]) used.push_back(i);
+  }
+  int numsymbols = (int)used.size();
+  if (numsymbols == 0) return;
+  if (numsymbols == 1) {
+    lengths[used[0]] = 1;
+    return;
+  }
+  if (numsymbols == 2) {
+    lengths[used[0]] = 1;
+    lengths[used[1]] = 1;
+    return;
+  }
+  if (maxbits > numsymbols - 1) maxbits = numsymbols - 1;
+
+  // Stable sort by weight (std::stable_sort keeps symbol order).
+  std::vector<int> order = used;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int a, int b) { return freqs[a] < freqs[b]; });
+
+  struct Item {
+    int64_t w;
+    std::vector<uint16_t> leaves;  // indices into `order`
+  };
+  std::vector<Item> items(numsymbols);
+  for (int i = 0; i < numsymbols; ++i) {
+    items[i].w = freqs[order[i]];
+    items[i].leaves = {(uint16_t)i};
+  }
+  std::vector<Item> leaves0 = items;
+
+  for (int level = 0; level < maxbits - 1; ++level) {
+    std::vector<Item> packages;
+    packages.reserve(items.size() / 2);
+    for (size_t k = 0; k + 1 < items.size(); k += 2) {
+      Item p;
+      p.w = items[k].w + items[k + 1].w;
+      p.leaves = items[k].leaves;
+      p.leaves.insert(p.leaves.end(), items[k + 1].leaves.begin(),
+                      items[k + 1].leaves.end());
+      packages.push_back(std::move(p));
+    }
+    std::vector<Item> merged;
+    merged.reserve(packages.size() + numsymbols);
+    size_t pi = 0, li = 0;
+    while (pi < packages.size() || li < (size_t)numsymbols) {
+      if (pi < packages.size() &&
+          (li >= (size_t)numsymbols || packages[pi].w <= leaves0[li].w)) {
+        merged.push_back(std::move(packages[pi++]));
+      } else {
+        merged.push_back(leaves0[li++]);
+      }
+    }
+    items = std::move(merged);
+  }
+
+  std::vector<int> counts(numsymbols, 0);
+  int take = 2 * numsymbols - 2;
+  for (int k = 0; k < take; ++k)
+    for (uint16_t leaf : items[k].leaves) ++counts[leaf];
+  for (int i = 0; i < numsymbols; ++i) lengths[order[i]] = counts[i];
+}
+
+// Histogram massaging for RLE-friendliness (deflate.c:434-518).
+static void RleOptimize(int length, int64_t* counts) {
+  for (;; --length) {
+    if (length == 0) return;
+    if (counts[length - 1] != 0) break;
+  }
+  std::vector<uint8_t> good(length, 0);
+  {
+    int64_t symbol = counts[0];
+    int stride = 0;
+    for (int i = 0; i < length + 1; ++i) {
+      if (i == length || counts[i] != symbol) {
+        if ((symbol == 0 && stride >= 5) || (symbol != 0 && stride >= 7))
+          for (int k = 0; k < stride; ++k) good[i - k - 1] = 1;
+        stride = 1;
+        if (i != length) symbol = counts[i];
+      } else {
+        ++stride;
+      }
+    }
+  }
+  int stride = 0;
+  int64_t limit = counts[0];
+  int64_t sum = 0;
+  for (int i = 0; i < length + 1; ++i) {
+    int64_t diff = i == length ? 0
+                   : (counts[i] > limit ? counts[i] - limit : limit - counts[i]);
+    if (i == length || good[i] || diff >= 4) {
+      if (stride >= 4 || (stride >= 3 && sum == 0)) {
+        int64_t count = (sum + stride / 2) / stride;
+        if (count < 1) count = 1;
+        if (sum == 0) count = 0;
+        for (int k = 0; k < stride; ++k) counts[i - k - 1] = count;
+      }
+      stride = 0;
+      sum = 0;
+      if (i < length - 3)
+        limit = (counts[i] + counts[i + 1] + counts[i + 2] + counts[i + 3] + 2) / 4;
+      else if (i < length)
+        limit = counts[i];
+      else
+        limit = 0;
+    }
+    ++stride;
+    if (i != length) sum += counts[i];
+  }
+}
+
+static void PatchDistCodes(int32_t* d_lengths) {
+  int num = 0;
+  for (int i = 0; i < 30; ++i) {
+    if (d_lengths[i]) ++num;
+    if (num >= 2) return;
+  }
+  if (num == 0)
+    d_lengths[0] = d_lengths[1] = 1;
+  else
+    d_lengths[d_lengths[0] ? 1 : 0] = 1;
+}
+
+// Size in bits of one RLE tree-encoding variant (deflate.c:105-249,
+// size-only path).
+static int64_t EncodeTreeSize(const int32_t* ll_lengths,
+                              const int32_t* d_lengths, bool use16, bool use17,
+                              bool use18) {
+  int hlit = 29;
+  while (hlit > 0 && ll_lengths[257 + hlit - 1] == 0) --hlit;
+  int hdist = 29;
+  while (hdist > 0 && d_lengths[1 + hdist - 1] == 0) --hdist;
+  int hlit2 = hlit + 257;
+  int lld_total = hlit2 + hdist + 1;
+  auto at = [&](int i) { return i < hlit2 ? ll_lengths[i] : d_lengths[i - hlit2]; };
+
+  int64_t clcounts[19] = {0};
+  for (int i = 0; i < lld_total; ++i) {
+    int symbol = at(i);
+    int count = 1;
+    if (use16 || (symbol == 0 && (use17 || use18))) {
+      for (int j = i + 1; j < lld_total && at(j) == symbol; ++j) ++count;
+    }
+    i += count - 1;
+    if (symbol == 0 && count >= 3) {
+      if (use18)
+        while (count >= 11) {
+          int c2 = count > 138 ? 138 : count;
+          ++clcounts[18];
+          count -= c2;
+        }
+      if (use17)
+        while (count >= 3) {
+          int c2 = count > 10 ? 10 : count;
+          ++clcounts[17];
+          count -= c2;
+        }
+    }
+    if (use16 && count >= 4) {
+      --count;
+      ++clcounts[symbol];
+      while (count >= 3) {
+        int c2 = count > 6 ? 6 : count;
+        ++clcounts[16];
+        count -= c2;
+      }
+    }
+    clcounts[symbol] += count;
+  }
+
+  int32_t clcl[19];
+  PackageMerge(clcounts, 19, 7, clcl);
+  int hclen = 15;
+  while (hclen > 0 && clcounts[kClOrder[hclen + 4 - 1]] == 0) --hclen;
+
+  int64_t size = 14 + (hclen + 4) * 3;
+  for (int i = 0; i < 19; ++i) size += (int64_t)clcl[i] * clcounts[i];
+  size += clcounts[16] * 2 + clcounts[17] * 3 + clcounts[18] * 7;
+  return size;
+}
+
+static int64_t TreeSize(const int32_t* ll, const int32_t* d) {
+  int64_t best = -1;
+  for (int i = 0; i < 8; ++i) {
+    int64_t s = EncodeTreeSize(ll, d, i & 1, i & 2, i & 4);
+    if (best < 0 || s < best) best = s;
+  }
+  return best;
+}
+
+// Precomputed per-symbol columns for fast range histograms + byte ranges.
+struct CostContext {
+  std::vector<uint16_t> litlens, dists;
+  std::vector<uint16_t> ll_sym, d_sym;
+  std::vector<int64_t> nbytes_prefix;  // bytes covered by symbols [0, i)
+  int64_t n;
+
+  CostContext(const uint16_t* ll, const uint16_t* dd, int64_t n_) : n(n_) {
+    litlens.assign(ll, ll + n);
+    dists.assign(dd, dd + n);
+    ll_sym.resize(n);
+    d_sym.resize(n);
+    nbytes_prefix.resize(n + 1);
+    nbytes_prefix[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (dd[i] == 0) {
+        ll_sym[i] = ll[i];
+        d_sym[i] = 0;
+        nbytes_prefix[i + 1] = nbytes_prefix[i] + 1;
+      } else {
+        ll_sym[i] = (uint16_t)LengthSymbol(ll[i]);
+        d_sym[i] = (uint16_t)DistSymbol(dd[i]);
+        nbytes_prefix[i + 1] = nbytes_prefix[i] + ll[i];
+      }
+    }
+  }
+
+  void Histogram(int64_t lstart, int64_t lend, int64_t* ll_counts,
+                 int64_t* d_counts) const {
+    std::memset(ll_counts, 0, sizeof(int64_t) * kNumLL);
+    std::memset(d_counts, 0, sizeof(int64_t) * kNumD);
+    for (int64_t i = lstart; i < lend; ++i) {
+      ++ll_counts[ll_sym[i]];
+      if (dists[i] != 0) ++d_counts[d_sym[i]];
+    }
+  }
+};
+
+static const int kLLExtraBySym[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
+                                      1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+                                      4, 4, 4, 4, 5, 5, 5, 5, 0};
+static const int kDExtraBySym[30] = {0, 0, 0, 0, 1, 1, 2,  2,  3,  3,
+                                     4, 4, 5, 5, 6, 6, 7,  7,  8,  8,
+                                     9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+
+static int64_t SymbolPayloadSize(const int64_t* ll_counts,
+                                 const int64_t* d_counts,
+                                 const int32_t* ll_lengths,
+                                 const int32_t* d_lengths) {
+  int64_t r = 0;
+  for (int i = 0; i < 256; ++i) r += (int64_t)ll_lengths[i] * ll_counts[i];
+  for (int i = 257; i < 286; ++i) {
+    r += (int64_t)ll_lengths[i] * ll_counts[i];
+    r += (int64_t)kLLExtraBySym[i - 257] * ll_counts[i];
+  }
+  for (int i = 0; i < 30; ++i) {
+    r += (int64_t)d_lengths[i] * d_counts[i];
+    r += (int64_t)kDExtraBySym[i] * d_counts[i];
+  }
+  r += ll_lengths[256];
+  return r;
+}
+
+// Dynamic-block tree+data size with the tried-and-kept RLE optimization
+// (deflate.c:525-582).  Optionally returns the chosen lengths.
+static double DynamicLengthsCost(const CostContext& ctx, int64_t lstart,
+                                 int64_t lend, int32_t* out_ll,
+                                 int32_t* out_d) {
+  int64_t ll_counts[kNumLL], d_counts[kNumD];
+  ctx.Histogram(lstart, lend, ll_counts, d_counts);
+  ll_counts[256] = 1;
+  int32_t ll[kNumLL], d[kNumD];
+  PackageMerge(ll_counts, kNumLL, 15, ll);
+  PackageMerge(d_counts, kNumD, 15, d);
+  PatchDistCodes(d);
+  int64_t treesize = TreeSize(ll, d);
+  int64_t datasize = SymbolPayloadSize(ll_counts, d_counts, ll, d);
+
+  int64_t ll_c2[kNumLL], d_c2[kNumD];
+  std::memcpy(ll_c2, ll_counts, sizeof(ll_c2));
+  std::memcpy(d_c2, d_counts, sizeof(d_c2));
+  RleOptimize(kNumLL, ll_c2);
+  RleOptimize(kNumD, d_c2);
+  int32_t ll2[kNumLL], d2[kNumD];
+  PackageMerge(ll_c2, kNumLL, 15, ll2);
+  PackageMerge(d_c2, kNumD, 15, d2);
+  PatchDistCodes(d2);
+  int64_t treesize2 = TreeSize(ll2, d2);
+  int64_t datasize2 = SymbolPayloadSize(ll_counts, d_counts, ll2, d2);
+
+  if (treesize2 + datasize2 < treesize + datasize) {
+    if (out_ll) std::memcpy(out_ll, ll2, sizeof(ll2));
+    if (out_d) std::memcpy(out_d, d2, sizeof(d2));
+    return (double)(treesize2 + datasize2);
+  }
+  if (out_ll) std::memcpy(out_ll, ll, sizeof(ll));
+  if (out_d) std::memcpy(out_d, d, sizeof(d));
+  return (double)(treesize + datasize);
+}
+
+static double BlockCost(const CostContext& ctx, int64_t lstart, int64_t lend,
+                        int btype) {
+  if (btype == 0) {
+    int64_t length = ctx.nbytes_prefix[lend] - ctx.nbytes_prefix[lstart];
+    int64_t blocks = length / 65535 + (length % 65535 ? 1 : 0);
+    return (double)(blocks * 5 * 8 + length * 8);
+  }
+  if (btype == 1) {
+    int32_t ll[kNumLL], d[kNumD];
+    for (int i = 0; i < 144; ++i) ll[i] = 8;
+    for (int i = 144; i < 256; ++i) ll[i] = 9;
+    for (int i = 256; i < 280; ++i) ll[i] = 7;
+    for (int i = 280; i < 288; ++i) ll[i] = 8;
+    for (int i = 0; i < 32; ++i) d[i] = 5;
+    int64_t ll_counts[kNumLL], d_counts[kNumD];
+    ctx.Histogram(lstart, lend, ll_counts, d_counts);
+    return 3.0 + SymbolPayloadSize(ll_counts, d_counts, ll, d);
+  }
+  return 3.0 + DynamicLengthsCost(ctx, lstart, lend, nullptr, nullptr);
+}
+
+// Min over the three block types, gating the fixed probe on total store
+// size exactly like the reference (deflate.c:610-621).
+static double BlockCostAuto(const CostContext& ctx, int64_t lstart,
+                            int64_t lend) {
+  double unc = BlockCost(ctx, lstart, lend, 0);
+  double fixed = ctx.n > 1000 ? unc : BlockCost(ctx, lstart, lend, 1);
+  double dyn = BlockCost(ctx, lstart, lend, 2);
+  if (unc < fixed && unc < dyn) return unc;
+  return fixed < dyn ? fixed : dyn;
+}
+
 }  // namespace zt
 
 // ---------------------------------------------------------------------------
@@ -618,6 +962,28 @@ int64_t zt_squeeze_run(void* eng, const double* ll_cost, const double* d_cost,
   cm.ll = ll_cost;
   cm.d = d_cost;
   return zt::SqueezeRun(*(zt::BlockEngine*)eng, cm, out_litlens, out_dists);
+}
+
+void* zt_cost_new(const uint16_t* litlens, const uint16_t* dists, int64_t n) {
+  return new zt::CostContext(litlens, dists, n);
+}
+
+void zt_cost_free(void* ctx) { delete (zt::CostContext*)ctx; }
+
+// btype 0/1/2 exact block cost; btype -1 selects auto-type (min of three
+// with the fixed-probe gate).
+double zt_cost_block(void* ctx, int64_t lstart, int64_t lend, int32_t btype) {
+  zt::CostContext* c = (zt::CostContext*)ctx;
+  if (btype < 0) return zt::BlockCostAuto(*c, lstart, lend);
+  return zt::BlockCost(*c, lstart, lend, btype);
+}
+
+// Chosen dynamic-tree code lengths for a range (out_ll[288], out_d[32]);
+// returns tree+data cost in bits.
+double zt_cost_dynamic_lengths(void* ctx, int64_t lstart, int64_t lend,
+                               int32_t* out_ll, int32_t* out_d) {
+  zt::CostContext* c = (zt::CostContext*)ctx;
+  return zt::DynamicLengthsCost(*c, lstart, lend, out_ll, out_d);
 }
 
 uint32_t zt_crc32(uint32_t crc, const uint8_t* data, int64_t n) {
