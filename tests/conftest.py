@@ -9,6 +9,10 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Small batched-engine geometry: interpret-mode Pallas kernels on CPU
+# are compiled per (tile, lanes) shape; keep them tiny.
+os.environ.setdefault("ZT_TILE", "1024")
+os.environ.setdefault("ZT_LANES", "8")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

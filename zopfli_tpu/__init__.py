@@ -12,6 +12,14 @@ Every output decompresses bit-for-bit to the input with stock zlib.
 
 from __future__ import annotations
 
+import os
+
+# Persistent XLA compile cache: the Pallas DP kernel costs minutes to
+# compile cold but milliseconds to load back.  Set before jax import.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/zopfli_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 from . import containers

@@ -32,22 +32,24 @@ class Options:
     blocksplitting: bool = True
     blocksplittingmax: int = 15
     # Framework extensions (no reference counterpart):
-    engine: str = "native"       # "native" (C++ host) or "tpu" (JAX/Pallas)
+    # "native"     — C++ host engine (serial, bit-identical to reference)
+    # "tpu"        — batched Pallas pipeline: all blocks in lockstep
+    # "tpu-serial" — per-block JAX engine (kept for cross-checking)
+    engine: str = "native"
     tracer: Optional[Tracer] = None
 
 
 def default_engine_factory(options: Options) -> Callable:
-    if options.engine == "tpu":
+    if options.engine == "tpu-serial":
         from .ops.engine import TpuBlockEngine
         return TpuBlockEngine
+    # The batched TPU path drives its own parse; auxiliary per-block
+    # engines (fixed-tree re-parse probes) run on the host.
     from . import native
     return native.BlockEngine
 
 
 def default_greedy(options: Options) -> Callable:
-    if options.engine == "tpu":
-        from .ops.engine import tpu_greedy
-        return tpu_greedy
     from . import native
     return native.greedy
 
@@ -210,26 +212,39 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
     else:
         splitpoints_uncompressed = []
 
-    stores = []
-    totalcost = 0.0
     bounds = [instart] + splitpoints_uncompressed + [inend]
-    splitpoints = []
-    acc = 0
-    for i in range(len(bounds) - 1):
-        start, end = bounds[i], bounds[i + 1]
-        engine = engine_factory(data, start, end)
+    if options.engine == "tpu":
+        from .squeeze_batched import lz77_optimal_batched
         trace = None
         if tracer is not None:
-            trace = tracer.block_iteration_hook(start, end)
-        st = squeeze.lz77_optimal(engine, data, start, end,
-                                  options.numiterations, greedy_fn,
-                                  trace=trace)
-        if hasattr(engine, "close"):
-            engine.close()
+            hooks = [tracer.block_iteration_hook(bounds[i], bounds[i + 1])
+                     for i in range(len(bounds) - 1)]
+            trace = lambda b, i, cost: hooks[b](i, cost)
+        stores = lz77_optimal_batched(
+            data, instart, inend, bounds, options.numiterations,
+            greedy_fn, trace=trace)
+    else:
+        stores = []
+        for i in range(len(bounds) - 1):
+            start, end = bounds[i], bounds[i + 1]
+            engine = engine_factory(data, start, end)
+            trace = None
+            if tracer is not None:
+                trace = tracer.block_iteration_hook(start, end)
+            st = squeeze.lz77_optimal(engine, data, start, end,
+                                      options.numiterations, greedy_fn,
+                                      trace=trace)
+            if hasattr(engine, "close"):
+                engine.close()
+            stores.append(st)
+
+    totalcost = 0.0
+    splitpoints = []
+    acc = 0
+    for i, st in enumerate(stores):
         totalcost += blocks.calculate_block_size_auto_type(st, 0, st.size)
-        stores.append(st)
         acc += st.size
-        if i + 1 < len(bounds) - 1:
+        if i + 1 < len(stores):
             splitpoints.append(acc)
 
     lz77 = concat_stores(stores)

@@ -64,6 +64,14 @@ def lib() -> ctypes.CDLL:
         l.zt_cost_dynamic_lengths.restype = ctypes.c_double
         l.zt_cost_dynamic_lengths.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                               ctypes.c_int64, i32p, i32p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        l.zt_hist_dynamic_cost.restype = ctypes.c_double
+        l.zt_hist_dynamic_cost.argtypes = [i64p, i64p, i32p, i32p]
+        l.zt_traceback_tiles.restype = ctypes.c_int64
+        l.zt_traceback_tiles.argtypes = [i16p, i16p, u8p, i64p,
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         u16p, u16p]
         l.zt_crc32.restype = ctypes.c_uint32
         l.zt_crc32.argtypes = [ctypes.c_uint32, u8p, ctypes.c_int64]
         l.zt_adler32.restype = ctypes.c_uint32
@@ -165,6 +173,54 @@ class CostContext:
             self._h, lstart, lend, ll.ctypes.data_as(i32p),
             d.ctypes.data_as(i32p))
         return float(cost), ll, d
+
+
+def hist_dynamic_cost(ll_counts: np.ndarray, d_counts: np.ndarray,
+                      want_lengths: bool = False):
+    """Exact dynamic-block tree+data bits from histograms alone.
+
+    Returns cost, or (cost, ll_lengths, d_lengths) when want_lengths.
+    """
+    l = lib()
+    ll_c = np.ascontiguousarray(ll_counts, dtype=np.int64)
+    d_c = np.ascontiguousarray(d_counts, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    if want_lengths:
+        ll_l = np.zeros(288, dtype=np.int32)
+        d_l = np.zeros(32, dtype=np.int32)
+        cost = l.zt_hist_dynamic_cost(
+            ll_c.ctypes.data_as(i64p), d_c.ctypes.data_as(i64p),
+            ll_l.ctypes.data_as(i32p), d_l.ctypes.data_as(i32p))
+        return float(cost), ll_l, d_l
+    cost = l.zt_hist_dynamic_cost(
+        ll_c.ctypes.data_as(i64p), d_c.ctypes.data_as(i64p), None, None)
+    return float(cost)
+
+
+def traceback_tiles(cl: np.ndarray, cd: np.ndarray, data_tile: np.ndarray,
+                    tile_nbytes: np.ndarray):
+    """Batch traceback of parse tiles -> (litlens, dists) uint16 arrays."""
+    l = lib()
+    cl = np.ascontiguousarray(cl, dtype=np.int16)
+    cd = np.ascontiguousarray(cd, dtype=np.int16)
+    data_tile = np.ascontiguousarray(data_tile, dtype=np.uint8)
+    tile_nbytes = np.ascontiguousarray(tile_nbytes, dtype=np.int64)
+    ntiles, tl1 = cl.shape
+    tile_len = tl1 - 1
+    assert data_tile.shape == (ntiles, tile_len), (data_tile.shape, cl.shape)
+    cap = int(tile_nbytes.sum())
+    litlens = np.empty(max(cap, 1), dtype=np.uint16)
+    dists = np.empty(max(cap, 1), dtype=np.uint16)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = l.zt_traceback_tiles(
+        cl.ctypes.data_as(i16p), cd.ctypes.data_as(i16p), _u8ptr(data_tile),
+        tile_nbytes.ctypes.data_as(i64p), ntiles, tile_len,
+        _u16ptr(litlens), _u16ptr(dists))
+    if n < 0:
+        raise ValueError("malformed DP path in traceback_tiles")
+    return litlens[:n].copy(), dists[:n].copy()
 
 
 def crc32(data: np.ndarray, value: int = 0) -> int:

@@ -903,6 +903,47 @@ static double DynamicLengthsCost(const CostContext& ctx, int64_t lstart,
   return (double)(treesize + datasize);
 }
 
+// Histogram-only variant of DynamicLengthsCost: exact dynamic tree+data
+// bits given litlen/dist counts (the batched TPU engine computes
+// histograms on device; only these 320 counters cross the wire per
+// iteration).  Counts are NOT modified; the end-symbol pin is applied to
+// a copy, mirroring GetDynamicLengths (deflate.c:569-582).
+static double HistDynamicCost(const int64_t* ll_counts_in,
+                              const int64_t* d_counts_in, int32_t* out_ll,
+                              int32_t* out_d) {
+  int64_t ll_counts[kNumLL], d_counts[kNumD];
+  std::memcpy(ll_counts, ll_counts_in, sizeof(ll_counts));
+  std::memcpy(d_counts, d_counts_in, sizeof(d_counts));
+  ll_counts[256] = 1;
+  int32_t ll[kNumLL], d[kNumD];
+  PackageMerge(ll_counts, kNumLL, 15, ll);
+  PackageMerge(d_counts, kNumD, 15, d);
+  PatchDistCodes(d);
+  int64_t treesize = TreeSize(ll, d);
+  int64_t datasize = SymbolPayloadSize(ll_counts, d_counts, ll, d);
+
+  int64_t ll_c2[kNumLL], d_c2[kNumD];
+  std::memcpy(ll_c2, ll_counts, sizeof(ll_c2));
+  std::memcpy(d_c2, d_counts, sizeof(d_c2));
+  RleOptimize(kNumLL, ll_c2);
+  RleOptimize(kNumD, d_c2);
+  int32_t ll2[kNumLL], d2[kNumD];
+  PackageMerge(ll_c2, kNumLL, 15, ll2);
+  PackageMerge(d_c2, kNumD, 15, d2);
+  PatchDistCodes(d2);
+  int64_t treesize2 = TreeSize(ll2, d2);
+  int64_t datasize2 = SymbolPayloadSize(ll_counts, d_counts, ll2, d2);
+
+  if (treesize2 + datasize2 < treesize + datasize) {
+    if (out_ll) std::memcpy(out_ll, ll2, sizeof(ll2));
+    if (out_d) std::memcpy(out_d, d2, sizeof(d2));
+    return (double)(treesize2 + datasize2);
+  }
+  if (out_ll) std::memcpy(out_ll, ll, sizeof(ll));
+  if (out_d) std::memcpy(out_d, d, sizeof(d));
+  return (double)(treesize + datasize);
+}
+
 static double BlockCost(const CostContext& ctx, int64_t lstart, int64_t lend,
                         int btype) {
   if (btype == 0) {
@@ -984,6 +1025,55 @@ double zt_cost_dynamic_lengths(void* ctx, int64_t lstart, int64_t lend,
                                int32_t* out_ll, int32_t* out_d) {
   zt::CostContext* c = (zt::CostContext*)ctx;
   return zt::DynamicLengthsCost(*c, lstart, lend, out_ll, out_d);
+}
+
+// Exact dynamic-block tree+data bits from litlen/dist histograms alone.
+double zt_hist_dynamic_cost(const int64_t* ll_counts, const int64_t* d_counts,
+                            int32_t* out_ll, int32_t* out_d) {
+  return zt::HistDynamicCost(ll_counts, d_counts, out_ll, out_d);
+}
+
+// Traceback over a batch of parse tiles (the TPU DP's choice arrays).
+//
+// cl/cd: (ntiles, tile_len + 1) int16 row-major; cl[t][p] is the edge
+// length chosen to reach local position p (1 = literal, >=3 = match),
+// cd[t][p] its distance.  tile_nbytes[t] <= tile_len is each tile's real
+// length (0 for padding tiles).  data_tile: (ntiles, tile_len) the raw
+// bytes, for literal values.  Symbols are appended in forward order per
+// tile into out_litlens/out_dists (caller-sized to sum(tile_nbytes));
+// returns total symbol count, or -1 on a malformed path.
+int64_t zt_traceback_tiles(const int16_t* cl, const int16_t* cd,
+                           const uint8_t* data_tile, const int64_t* tile_nbytes,
+                           int64_t ntiles, int64_t tile_len,
+                           uint16_t* out_litlens, uint16_t* out_dists) {
+  int64_t total = 0;
+  std::vector<uint16_t> rl, rd;
+  for (int64_t t = 0; t < ntiles; ++t) {
+    const int16_t* cl_t = cl + t * (tile_len + 1);
+    const int16_t* cd_t = cd + t * (tile_len + 1);
+    const uint8_t* bytes = data_tile + t * tile_len;
+    rl.clear();
+    rd.clear();
+    int64_t p = tile_nbytes[t];
+    while (p > 0) {
+      int l = cl_t[p];
+      if (l < 1 || l > p) return -1;
+      if (l >= zt::kMinMatch) {
+        rl.push_back((uint16_t)l);
+        rd.push_back((uint16_t)cd_t[p]);
+      } else {
+        rl.push_back(bytes[p - 1]);
+        rd.push_back(0);
+      }
+      p -= l;
+    }
+    for (int64_t k = (int64_t)rl.size() - 1; k >= 0; --k) {
+      out_litlens[total] = rl[k];
+      out_dists[total] = rd[k];
+      ++total;
+    }
+  }
+  return total;
 }
 
 uint32_t zt_crc32(uint32_t crc, const uint8_t* data, int64_t n) {
