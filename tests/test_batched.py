@@ -33,6 +33,34 @@ def test_scan_kernel_matches_reference():
     np.testing.assert_array_equal(np.asarray(cd), rcd)
 
 
+def test_traceback_kernel_matches_reference():
+    rng = np.random.default_rng(9)
+    tile, nt = 128, 8
+    # Build a plausible cl/cd: random edges, at least 1, <= position.
+    cl = np.zeros((tile, nt), np.int32)
+    cd = np.zeros((tile, nt), np.int32)
+    for lane in range(nt):
+        for p in range(1, tile + 1):
+            if rng.random() < 0.7 or p < 4:
+                cl[p - 1, lane] = 1
+            else:
+                l = int(rng.integers(3, min(p, 258) + 1))
+                cl[p - 1, lane] = l
+                cd[p - 1, lane] = int(rng.integers(1, 2000))
+    lit = rng.integers(0, 256, (tile, nt)).astype(np.int32)
+    nbyt = rng.integers(0, tile + 1, (1, nt)).astype(np.int32)
+    nbyt[0, 0] = tile
+    nbyt[0, 1] = 0
+
+    run = scan_kernel.make_traceback(tile, nt, interpret=True)
+    symtab = scan_kernel.symbol_range_table()
+    hist, plp, pdp = run(cl, cd, lit, nbyt, symtab)
+    rhist, rpl, rpd = scan_kernel.traceback_reference(cl, cd, lit, nbyt)
+    np.testing.assert_array_equal(np.asarray(hist), rhist)
+    np.testing.assert_array_equal(np.asarray(plp), rpl)
+    np.testing.assert_array_equal(np.asarray(pdp), rpd)
+
+
 def test_batched_roundtrip(corpus):
     for name in ["foobar", "text", "runs", "underscore_foobar",
                  "random_3000"]:

@@ -604,10 +604,14 @@ constexpr int kNumD = 32;
 static const int kClOrder[19] = {16, 17, 18, 0, 8,  7, 9,  6, 10, 5,
                                  11, 4,  12, 3, 13, 2, 14, 1, 15};
 
-// Exact minimum-redundancy length-limited code lengths (package-merge).
-// Tie rules match the Python reference implementation in entropy.py:
-// leaves sorted stably by (weight, symbol); a package precedes an
-// equal-weight leaf.
+// Exact minimum-redundancy length-limited code lengths (package-merge,
+// counting formulation: O(n * maxbits) flat arrays, no per-item leaf
+// sets).  Tie rules match the Python reference implementation in
+// entropy.py: leaves sorted stably by (weight, symbol); a package
+// precedes an equal-weight leaf.  Key fact exploited: within a merged
+// level the leaves appear in ascending weight order, so "k leaves among
+// the first t items" are exactly the k smallest leaves, and
+// lengths[j-th smallest leaf] = #{levels with leafcount > j}.
 static void PackageMerge(const int64_t* freqs, int n, int maxbits,
                          int32_t* lengths) {
   std::vector<int> used;
@@ -615,65 +619,67 @@ static void PackageMerge(const int64_t* freqs, int n, int maxbits,
     lengths[i] = 0;
     if (freqs[i]) used.push_back(i);
   }
-  int numsymbols = (int)used.size();
-  if (numsymbols == 0) return;
-  if (numsymbols == 1) {
-    lengths[used[0]] = 1;
+  int m = (int)used.size();
+  if (m == 0) return;
+  if (m <= 2) {
+    for (int i : used) lengths[i] = 1;
     return;
   }
-  if (numsymbols == 2) {
-    lengths[used[0]] = 1;
-    lengths[used[1]] = 1;
-    return;
-  }
-  if (maxbits > numsymbols - 1) maxbits = numsymbols - 1;
+  if (maxbits > m - 1) maxbits = m - 1;
 
-  // Stable sort by weight (std::stable_sort keeps symbol order).
   std::vector<int> order = used;
   std::stable_sort(order.begin(), order.end(),
                    [&](int a, int b) { return freqs[a] < freqs[b]; });
+  std::vector<int64_t> leaf_w(m);
+  for (int i = 0; i < m; ++i) leaf_w[i] = freqs[order[i]];
 
-  struct Item {
-    int64_t w;
-    std::vector<uint16_t> leaves;  // indices into `order`
-  };
-  std::vector<Item> items(numsymbols);
-  for (int i = 0; i < numsymbols; ++i) {
-    items[i].w = freqs[order[i]];
-    items[i].leaves = {(uint16_t)i};
-  }
-  std::vector<Item> leaves0 = items;
+  // Per level: merged item weights + prefix count of leaves.
+  int cap = 2 * m;  // merged size <= m + (prev_size / 2) <= 2m
+  std::vector<int64_t> prev_w(leaf_w), cur_w(cap);
+  std::vector<int> prev_leafpfx(m + 1), cur_leafpfx;
+  // leafpfx[i] = #leaves among the first i items of the level's list.
+  std::vector<std::vector<int>> leafpfx_per_level(maxbits);
+  for (int i = 0; i <= m; ++i) prev_leafpfx[i] = i;
+  leafpfx_per_level[0] = prev_leafpfx;
+  int prev_size = m;
 
-  for (int level = 0; level < maxbits - 1; ++level) {
-    std::vector<Item> packages;
-    packages.reserve(items.size() / 2);
-    for (size_t k = 0; k + 1 < items.size(); k += 2) {
-      Item p;
-      p.w = items[k].w + items[k + 1].w;
-      p.leaves = items[k].leaves;
-      p.leaves.insert(p.leaves.end(), items[k + 1].leaves.begin(),
-                      items[k + 1].leaves.end());
-      packages.push_back(std::move(p));
-    }
-    std::vector<Item> merged;
-    merged.reserve(packages.size() + numsymbols);
-    size_t pi = 0, li = 0;
-    while (pi < packages.size() || li < (size_t)numsymbols) {
-      if (pi < packages.size() &&
-          (li >= (size_t)numsymbols || packages[pi].w <= leaves0[li].w)) {
-        merged.push_back(std::move(packages[pi++]));
+  for (int level = 1; level < maxbits; ++level) {
+    int np = prev_size / 2;
+    int size = 0, pi = 0, li = 0;
+    std::vector<int> pfx(np + m + 1);
+    pfx[0] = 0;
+    while (pi < np || li < m) {
+      int64_t pw = pi < np ? prev_w[2 * pi] + prev_w[2 * pi + 1] : 0;
+      bool take_pkg = pi < np && (li >= m || pw <= leaf_w[li]);
+      if (take_pkg) {
+        cur_w[size] = pw;
+        pfx[size + 1] = pfx[size];
+        ++pi;
       } else {
-        merged.push_back(leaves0[li++]);
+        cur_w[size] = leaf_w[li];
+        pfx[size + 1] = pfx[size] + 1;
+        ++li;
       }
+      ++size;
     }
-    items = std::move(merged);
+    pfx.resize(size + 1);
+    leafpfx_per_level[level] = pfx;
+    prev_w.assign(cur_w.begin(), cur_w.begin() + size);
+    prev_size = size;
   }
 
-  std::vector<int> counts(numsymbols, 0);
-  int take = 2 * numsymbols - 2;
-  for (int k = 0; k < take; ++k)
-    for (uint16_t leaf : items[k].leaves) ++counts[leaf];
-  for (int i = 0; i < numsymbols; ++i) lengths[order[i]] = counts[i];
+  // Top-down take counts -> per-level leaf counts -> lengths.
+  int take = 2 * m - 2;
+  std::vector<int> counts(m, 0);
+  for (int level = maxbits - 1; level >= 0; --level) {
+    const std::vector<int>& pfx = leafpfx_per_level[level];
+    if (take > (int)pfx.size() - 1) take = (int)pfx.size() - 1;
+    int leaves_taken = pfx[take];
+    for (int j = 0; j < leaves_taken; ++j) ++counts[j];
+    int packages = take - leaves_taken;
+    take = 2 * packages;
+  }
+  for (int i = 0; i < m; ++i) lengths[order[i]] = counts[i];
 }
 
 // Histogram massaging for RLE-friendliness (deflate.c:434-518).

@@ -10,13 +10,14 @@ serial, squeeze.c:446-526 one block at a time):
        TILES; every tile is one lane of the Pallas DP scan kernel
        (ops.scan_kernel); tiles run in fixed-size lane groups so one
        compiled kernel shape serves any input size
-    -> per squeeze iteration: per-block cost models (tiny h2d) -> DP
-       scan -> on-device pointer-doubling path extraction -> per-block
-       symbol histograms (tiny d2h); exact dynamic-block bit cost from
-       histograms on the host (native.hist_dynamic_cost) drives
-       zopfli's keep-best / randomize / blend iteration control
-    -> final parse pulled once per master block and traced back in
-       native code (zt_traceback_tiles)
+    -> per squeeze iteration ONE fused device call per group: cost
+       expansion (30-way select, no gathers) -> forward DP scan ->
+       backward traceback kernel (path + histograms, no gathers) ->
+       per-block histogram matmul; only (320, nb) counters come back
+    -> zopfli iteration control (keep-best by exact histogram cost via
+       native zt_hist_dynamic_cost) runs on the host between calls
+    -> the best parse, kept on device as sparse per-position (len,
+       dist) rows, is pulled once per master block at the end
 
 Device/host traffic per iteration is a few KB each way, independent of
 input size; the raw bytes cross once, the chosen parse crosses once.
@@ -29,7 +30,6 @@ tile.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import numpy as np
@@ -49,8 +49,8 @@ LANES = int(os.environ.get("ZT_LANES", "256"))
 # trace (a module-level jnp.asarray would device_put at import time).
 _LSYM = np.asarray(spec.LENGTH_SYMBOL[3:259], dtype=np.int32)
 _LEXTRA = np.asarray(spec.LENGTH_EXTRA_BITS[3:259], dtype=np.float32)
-_DSYM_EXTRA = np.asarray(spec.DIST_SYM_EXTRA_BITS, dtype=np.float32)
-_LSYM_FULL = np.asarray(spec.LENGTH_SYMBOL, dtype=np.int32)
+_DSYM_EXTRA = np.zeros(spec.NUM_D, dtype=np.float32)
+_DSYM_EXTRA[:30] = spec.DIST_SYM_EXTRA_BITS
 
 FIXED_LL = np.zeros(spec.NUM_LL, dtype=np.float32)
 FIXED_LL[0:144] = 8
@@ -67,130 +67,84 @@ def dist_symbol_jax(dist: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(dist < 5, dist - 1, 2 * lg + r).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _prepare_group(bp_len, bp_dist, data_block, cap,
-                   tile_start, tile_nbytes):
-    """Slice master-level candidate tables into one lane group.
-
-    bp_len/bp_dist: (cap, KBP) int32 master tables; data_block (cap,)
-    int32; tile_start/tile_nbytes: (LANES,) int32 (0-length = padding).
-
-    Returns kernel-layout (bl_t, bd_t, dsym_t, lit_t, valid_t):
-    (TILE, KBP, LANES) x3, (TILE, LANES) x2.
-    """
-    pos_in_tile = jnp.arange(TILE, dtype=jnp.int32)
-    rows = tile_start[:, None] + pos_in_tile[None, :]     # (LANES, TILE)
-    rows_c = jnp.clip(rows, 0, cap - 1)
-    bl = bp_len[rows_c]            # (LANES, TILE, KBP)
-    bd = bp_dist[rows_c]
-    lit = data_block[rows_c]       # (LANES, TILE)
-
-    # Matches may not extend beyond the tile's real end (forced node).
-    maxlen = tile_nbytes[:, None] - pos_in_tile[None, :]
-    bl = jnp.minimum(bl, maxlen[:, :, None])
-    bl = jnp.where(bl >= spec.MIN_MATCH, bl, 0)
-    valid = pos_in_tile[None, :] < tile_nbytes[:, None]
-    bl = jnp.where(valid[:, :, None], bl, 0)
-
-    dsym = dist_symbol_jax(jnp.maximum(bd, 1))
-    return (jnp.transpose(bl, (1, 2, 0)), jnp.transpose(bd, (1, 2, 0)),
-            jnp.transpose(dsym, (1, 2, 0)), jnp.transpose(lit, (1, 0)),
-            jnp.transpose(valid, (1, 0)))
+import functools
 
 
-@jax.jit
-def _iteration_inputs(ll_cost_b, d_cost_b, dsym_t, lit_t, tile_block,
-                      valid_t):
-    """Per-iteration cost arrays for one lane group.
+@functools.lru_cache(maxsize=None)
+def _make_prepare_group(cap: int):
+    @jax.jit
+    def prepare(bp_len, bp_dist, data_block, tile_start, tile_nbytes):
+        """Slice master-level candidate tables into one lane group.
 
-    ll_cost_b: (NB, 288) f32, d_cost_b: (NB, 32) f32 per-block models;
-    tile_block: (LANES,) int32 block id per lane.
-    """
-    ll_t = ll_cost_b[tile_block]        # (LANES, 288)
-    d_t = d_cost_b[tile_block]          # (LANES, 32)
-    lanes = ll_t.shape[0]
-    tile = lit_t.shape[0]
+        bp_len/bp_dist: (cap, KBP) int32 master tables; data_block
+        (cap,) int32; tile_start/tile_nbytes: (LANES,) int32.
+        Returns kernel layout (bl_t, bd_t, dsym_t, lit_t, valid_t).
+        """
+        pos_in_tile = jnp.arange(TILE, dtype=jnp.int32)
+        rows = tile_start[:, None] + pos_in_tile[None, :]   # (LANES, TILE)
+        rows_c = jnp.clip(rows, 0, cap - 1)
+        bl = bp_len[rows_c]            # (LANES, TILE, KBP)
+        bd = bp_dist[rows_c]
+        lit = data_block[rows_c]       # (LANES, TILE)
 
-    lcost = ll_t[:, _LSYM] + _LEXTRA[None, :]       # (LANES, 256)
-    lcost_vec = jnp.transpose(lcost, (1, 0))
+        # Matches may not extend beyond the tile's real end (forced node).
+        maxlen = tile_nbytes[:, None] - pos_in_tile[None, :]
+        bl = jnp.minimum(bl, maxlen[:, :, None])
+        bl = jnp.where(bl >= spec.MIN_MATCH, bl, 0)
+        valid = pos_in_tile[None, :] < tile_nbytes[:, None]
+        bl = jnp.where(valid[:, :, None], bl, 0)
 
-    dsym_flat = jnp.transpose(dsym_t, (2, 0, 1)).reshape(lanes, -1)
-    dcost = jnp.take_along_axis(d_t, dsym_flat, axis=1) + \
-        jnp.asarray(_DSYM_EXTRA)[dsym_flat]
-    bp_dcost_t = jnp.transpose(dcost.reshape(lanes, tile, KBP), (1, 2, 0))
-
-    lit_flat = jnp.transpose(lit_t, (1, 0))
-    litcost = jnp.take_along_axis(ll_t, lit_flat, axis=1)
-    litcost_t = jnp.where(valid_t, jnp.transpose(litcost, (1, 0)),
-                          scan_kernel.BIG)
-    return bp_dcost_t, litcost_t, lcost_vec
+        dsym = dist_symbol_jax(jnp.maximum(bd, 1))
+        return (jnp.transpose(bl, (1, 2, 0)), jnp.transpose(bd, (1, 2, 0)),
+                jnp.transpose(dsym, (1, 2, 0)), jnp.transpose(lit, (1, 0)),
+                jnp.transpose(valid, (1, 0)))
+    return prepare
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _extract_stats(cl, cd, nb_pad, lit_t, tile_block, tile_nbytes, cost):
-    """Path extraction + per-block histograms for one lane group.
+@functools.lru_cache(maxsize=None)
+def _make_run_group(scan, traceback):
+    """One fused device call: costs -> DP -> traceback -> block hists."""
+    symtab = np.asarray(scan_kernel.symbol_range_table(), dtype=np.int32)
 
-    cl/cd: (TILE+1, LANES) int32 chosen edges.  Pointer doubling from
-    each tile's end yields every path node in parallel.  Returns
-    (ll_hist (nb_pad,288) i32, d_hist (nb_pad,32) i32,
-    block_dp_cost (nb_pad,) f32).
-    """
-    tile = cl.shape[0] - 1
-    lanes = cl.shape[1]
-    pidx = jnp.arange(tile + 1, dtype=jnp.int32)[:, None]
-    nxt = jnp.clip(pidx - cl, 0, tile)               # (TILE+1, LANES)
+    @jax.jit
+    def run_group(ll_cost_b, d_cost_b, bl_t, bd_t, dsym_t, lit_t, valid_t,
+                  tile_block, tile_nbytes, blk_oh):
+        ll_t = ll_cost_b[tile_block]          # (LANES, 288)
+        d_t = d_cost_b[tile_block]            # (LANES, 32)
 
-    ks = int(np.ceil(np.log2(max(tile, 2))))
-    jumps = [nxt]
-    for _ in range(ks - 1):
-        j = jumps[-1]
-        jumps.append(jnp.take_along_axis(j, j, axis=0))
+        lcost_vec = jnp.transpose(ll_t[:, _LSYM] + _LEXTRA[None, :])
 
-    slots = jnp.broadcast_to(tile_nbytes[None, :],
-                             (tile, lanes)).astype(jnp.int32)
-    ii = jnp.arange(tile, dtype=jnp.int32)[:, None]
-    for k in range(ks):
-        take = (ii >> k) & 1
-        jumped = jnp.take_along_axis(jumps[k], slots, axis=0)
-        slots = jnp.where(take == 1, jumped, slots)
+        # Distance cost per breakpoint as a 30-way select (XLA gathers
+        # from per-lane tables are ~15x slower than this select chain).
+        dplus = d_t + _DSYM_EXTRA[None, :]    # (LANES, 32)
+        bp_dcost_t = jnp.zeros(dsym_t.shape, jnp.float32)
+        for s in range(30):
+            bp_dcost_t = jnp.where(dsym_t == s, dplus[:, s][None, None, :],
+                                   bp_dcost_t)
 
-    valid = slots > 0
-    l = jnp.take_along_axis(cl, slots, axis=0)
-    d = jnp.take_along_axis(cd, slots, axis=0)
-    is_match = l >= spec.MIN_MATCH
-    lsym = jnp.asarray(_LSYM_FULL)[jnp.clip(l, 0, 258)]
-    lit_prev = jnp.take_along_axis(
-        lit_t, jnp.clip(slots - 1, 0, tile - 1), axis=0)
-    sym = jnp.where(is_match, lsym, lit_prev)
-    dsym = jnp.where(is_match, dist_symbol_jax(jnp.maximum(d, 1)), 0)
+        litcost = jnp.take_along_axis(ll_t, jnp.transpose(lit_t), axis=1)
+        litcost_t = jnp.where(valid_t, jnp.transpose(litcost),
+                              scan_kernel.BIG)
 
-    blk = jnp.broadcast_to(tile_block[None, :], (tile, lanes))
-    ll_flat = jnp.where(valid, blk * spec.NUM_LL + sym, nb_pad * spec.NUM_LL)
-    ll_hist = jnp.zeros(nb_pad * spec.NUM_LL + 1, jnp.int32).at[
-        ll_flat.reshape(-1)].add(1)[:-1].reshape(nb_pad, spec.NUM_LL)
-    d_ok = valid & is_match
-    d_flat = jnp.where(d_ok, blk * spec.NUM_D + dsym, nb_pad * spec.NUM_D)
-    d_hist = jnp.zeros(nb_pad * spec.NUM_D + 1, jnp.int32).at[
-        d_flat.reshape(-1)].add(1)[:-1].reshape(nb_pad, spec.NUM_D)
-
-    fin = jnp.take_along_axis(
-        cost, jnp.clip(tile_nbytes[None, :] - 1, 0, tile - 1), axis=0)[0]
-    fin = jnp.where(tile_nbytes > 0, fin, 0.0)
-    blk_cost = jnp.zeros(nb_pad + 1, jnp.float32).at[
-        jnp.where(tile_nbytes > 0, tile_block, nb_pad)].add(fin)[:-1]
-    return ll_hist, d_hist, blk_cost
+        cl, cd, _cost = scan(bl_t, bd_t, bp_dcost_t, litcost_t, lcost_vec)
+        hist, plp, pdp = traceback(cl[1:], cd[1:], lit_t,
+                                   tile_nbytes[None, :],
+                                   jnp.asarray(symtab))
+        hist_b = hist @ blk_oh                # (HBINS, NB)
+        return hist_b, plp, pdp
+    return run_group
 
 
 @jax.jit
-def _keep_best(best_cl, best_cd, cl, cd, improved_lane):
+def _keep_best(best_pl, best_pd, plp, pdp, improved_lane):
     m = improved_lane[None, :]
-    return (jnp.where(m, cl, best_cl), jnp.where(m, cd, best_cd))
+    return (jnp.where(m, plp, best_pl), jnp.where(m, pdp, best_pd))
 
 
 @jax.jit
-def _to_i16_pair(cl, cd):
-    return (jnp.transpose(cl).astype(jnp.int16),
-            jnp.transpose(cd).astype(jnp.int16))
+def _to_i16_pair(plp, pdp):
+    return (jnp.transpose(plp).astype(jnp.int16),
+            jnp.transpose(pdp).astype(jnp.int16))
 
 
 def _filler(n: int) -> np.ndarray:
@@ -209,7 +163,7 @@ class MasterBatch:
                  block_bounds: list[int], interpret: bool | None = None):
         if interpret is None:
             # Mosaic kernels need a real TPU; elsewhere (CPU test meshes)
-            # run the kernel in interpret mode.
+            # run the kernels in interpret mode.
             interpret = jax.default_backend() != "tpu"
         self.data = data
         self.instart = instart
@@ -263,19 +217,27 @@ class MasterBatch:
         data_block[:L] = data[instart:inend]
         data_block_d = jnp.asarray(data_block)
 
-        self._scan = scan_kernel.make_scan(TILE, LANES, KBP,
-                                           interpret=interpret)
+        scan = scan_kernel.make_scan(TILE, LANES, KBP, interpret=interpret)
+        traceback = scan_kernel.make_traceback(TILE, LANES,
+                                               interpret=interpret)
+        self._run_group = _make_run_group(scan, traceback)
+        prepare = _make_prepare_group(cap)
+
         self._groups = []
         for g in range(self.ngroups):
             sl = slice(g * LANES, (g + 1) * LANES)
-            prep = _prepare_group(
-                bp_len, bp_dist, data_block_d, cap,
-                jnp.asarray(self.tile_start[sl]),
-                jnp.asarray(self.tile_nbytes[sl]))
+            prep = prepare(bp_len, bp_dist, data_block_d,
+                           jnp.asarray(self.tile_start[sl]),
+                           jnp.asarray(self.tile_nbytes[sl]))
+            blk_oh = np.zeros((LANES, self.nb), np.float32)
+            lanes_used = self.tile_nbytes[sl] > 0
+            blk_oh[np.arange(LANES)[lanes_used],
+                   self.tile_block[sl][lanes_used]] = 1.0
             self._groups.append({
                 "prep": prep,
                 "tile_block": jnp.asarray(self.tile_block[sl]),
                 "tile_nbytes": jnp.asarray(self.tile_nbytes[sl]),
+                "blk_oh": jnp.asarray(blk_oh),
                 "best": None,
                 "last": None,
             })
@@ -284,28 +246,22 @@ class MasterBatch:
         """One DP run for all blocks under per-block cost models.
 
         ll_cost_b: (nb, 288), d_cost_b: (nb, 32).  Returns host arrays
-        (ll_hist (nb, 288), d_hist (nb, 32), dp_cost (nb,)); the parse
-        stays on device until keep_best / fetch_parse.
+        (ll_hist (nb, 288) i64, d_hist (nb, 32) i64); the parse stays
+        on device until keep_best / fetch_parse.
         """
         ll = jnp.asarray(np.ascontiguousarray(ll_cost_b, dtype=np.float32))
         dd = jnp.asarray(np.ascontiguousarray(d_cost_b, dtype=np.float32))
-        ll_hist = np.zeros((self.nb, spec.NUM_LL), np.int64)
-        d_hist = np.zeros((self.nb, spec.NUM_D), np.int64)
-        dp_cost = np.zeros(self.nb, np.float64)
+        hist = np.zeros((scan_kernel.HBINS, self.nb), np.int64)
         for grp in self._groups:
             bl_t, bd_t, dsym_t, lit_t, valid_t = grp["prep"]
-            bp_dcost_t, litcost_t, lcost_vec = _iteration_inputs(
-                ll, dd, dsym_t, lit_t, grp["tile_block"], valid_t)
-            cl, cd, cost = self._scan(bl_t, bd_t, bp_dcost_t, litcost_t,
-                                      lcost_vec)
-            grp["last"] = (cl, cd)
-            lh, dh, bc = _extract_stats(cl, cd, self.nb, lit_t,
-                                        grp["tile_block"],
-                                        grp["tile_nbytes"], cost)
-            ll_hist += np.asarray(lh, dtype=np.int64)
-            d_hist += np.asarray(dh, dtype=np.int64)
-            dp_cost += np.asarray(bc, dtype=np.float64)
-        return ll_hist, d_hist, dp_cost
+            hist_b, plp, pdp = self._run_group(
+                ll, dd, bl_t, bd_t, dsym_t, lit_t, valid_t,
+                grp["tile_block"], grp["tile_nbytes"], grp["blk_oh"])
+            grp["last"] = (plp, pdp)
+            hist += np.asarray(hist_b).astype(np.int64)
+        ll_hist = np.ascontiguousarray(hist[:spec.NUM_LL].T)
+        d_hist = np.ascontiguousarray(hist[spec.NUM_LL:].T)
+        return ll_hist, d_hist
 
     def keep_best(self, improved_blocks: np.ndarray) -> None:
         """Adopt the last run as best for blocks flagged True ((nb,) bool)."""
@@ -316,41 +272,46 @@ class MasterBatch:
             if grp["best"] is None:
                 grp["best"] = grp["last"]
             else:
-                bcl, bcd = grp["best"]
-                lcl, lcd = grp["last"]
-                grp["best"] = _keep_best(bcl, bcd, lcl, lcd,
+                bpl, bpd = grp["best"]
+                lpl, lpd = grp["last"]
+                grp["best"] = _keep_best(bpl, bpd, lpl, lpd,
                                          jnp.asarray(lane_imp[sl]))
 
     def fetch_parse(self, which: str = "best"):
-        """Pull the chosen parse and trace it back natively.
+        """Pull the chosen parse (sparse per-position rows) and convert.
 
-        Returns a list of per-block (litlens, dists) uint16 arrays.
+        Returns a list of per-block (litlens, dists) uint16 arrays in
+        forward order (ascending positions ARE forward symbol order).
         """
-        from .. import native
-        cl16 = np.empty((self.ngroups * LANES, TILE + 1), np.int16)
-        cd16 = np.empty_like(cl16)
+        PL = np.empty((self.ngroups * LANES, TILE), np.int16)
+        PD = np.empty_like(PL)
         for g, grp in enumerate(self._groups):
             pair = grp[which] if grp[which] is not None else grp["last"]
             a, b = _to_i16_pair(*pair)
-            cl16[g * LANES:(g + 1) * LANES] = np.asarray(a)
-            cd16[g * LANES:(g + 1) * LANES] = np.asarray(b)
+            PL[g * LANES:(g + 1) * LANES] = np.asarray(a)
+            PD[g * LANES:(g + 1) * LANES] = np.asarray(b)
 
         out = []
         t = 0
         for b in range(self.nb):
-            idxs = []
+            lit_parts, dist_parts = [], []
             while t < self.nt and self.tile_block[t] == b:
-                idxs.append(t)
+                rows = np.nonzero(PL[t])[0]
+                l = PL[t][rows].astype(np.int64)
+                d = PD[t][rows].astype(np.uint16)
+                abs_start = self.instart + int(self.tile_start[t])
+                bytes_at = self.data[abs_start + rows]
+                lit_parts.append(
+                    np.where(l >= spec.MIN_MATCH, l,
+                             bytes_at).astype(np.uint16))
+                dist_parts.append(
+                    np.where(l >= spec.MIN_MATCH, d, 0).astype(np.uint16))
                 t += 1
-            data_tiles = np.zeros((len(idxs), TILE), np.uint8)
-            for r, ti in enumerate(idxs):
-                s = self.instart + self.tile_start[ti]
-                n = self.tile_nbytes[ti]
-                data_tiles[r, :n] = self.data[s:s + n]
-            lit, dst = native.traceback_tiles(
-                cl16[idxs], cd16[idxs], data_tiles,
-                self.tile_nbytes[idxs].astype(np.int64))
-            out.append((lit, dst))
+            if lit_parts:
+                out.append((np.concatenate(lit_parts),
+                            np.concatenate(dist_parts)))
+            else:
+                out.append((np.zeros(0, np.uint16), np.zeros(0, np.uint16)))
         return out
 
     def verify_parse(self, b: int, litlens: np.ndarray,

@@ -148,6 +148,151 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 32,
     return run
 
 
+HBINS = 320  # 288 litlen rows + 32 dist rows
+
+
+def symbol_range_table() -> np.ndarray:
+    """(HBINS, 8) int32 range table for the in-kernel histogram.
+
+    Row r matches a path edge when:
+      r < 256: literal edge with byte == r (compared directly, not here)
+      257..285: match edge with length in [col0, col1)
+      288..317: match edge with distance in [col2, col3)
+    Sentinel -1 ranges never match.
+    """
+    tab = np.full((HBINS, 8), -1, dtype=np.int32)
+    tab[:, 1] = -2  # empty [lo, hi)
+    tab[:, 3] = -2
+    for l in range(spec.MIN_MATCH, spec.MAX_MATCH + 1):
+        s = int(spec.LENGTH_SYMBOL[l])
+        if tab[s, 0] == -1:
+            tab[s, 0] = l
+        tab[s, 1] = l + 1
+    base = spec.DIST_SYM_BASE
+    for s in range(30):
+        hi = int(base[s + 1]) if s + 1 < 30 else spec.WINDOW_SIZE + 1
+        tab[288 + s, 2] = int(base[s])
+        tab[288 + s, 3] = hi
+    return tab
+
+
+@functools.lru_cache(maxsize=None)
+def make_traceback(tile: int, nt: int, ch: int = 32,
+                   interpret: bool = False):
+    """Backward traceback kernel: path symbols + histograms, no gathers.
+
+    The DP path is walked backwards in lockstep over all lanes: a
+    per-lane cursor `nextpos` starts at each tile's end; at position p
+    (descending) a lane is *active* iff its cursor equals p, in which
+    case the edge (cl[p], cd[p]) is on the path.  Rows are visited in
+    static order, so there is zero gathering — the reference's serial
+    TraceBackwards (squeeze.c:317-336) becomes 1 vector step/position.
+
+    Returns fn(cl, cd, lit, tile_nbytes, symtab) ->
+      (hist (HBINS, nt) f32, pl (tile, nt) i32, pd (tile, nt) i32)
+    where cl/cd are the scan kernel outputs WITHOUT the leading zero row
+    ((tile, nt), row j = position j+1), lit (tile, nt) byte values,
+    tile_nbytes (1, nt), symtab from symbol_range_table().
+    pl[j] = edge length into position j+1 if on path else 0; pd = dist.
+    """
+    assert tile % ch == 0
+    nch = tile // ch
+
+    def kern(cl_ref, cd_ref, lit_ref, nbyt_ref, tab_ref,
+             hist_out, pl_out, pd_out, nextpos, hist):
+        c = pl.program_id(0)
+        base = (nch - 1 - c) * ch
+        riota = jax.lax.broadcasted_iota(jnp.int32, (HBINS, nt), 0)
+
+        @pl.when(c == 0)
+        def _():
+            nextpos[0, :] = nbyt_ref[0, :]
+            hist[:, :] = jnp.zeros((HBINS, nt), jnp.float32)
+
+        ll_lo = tab_ref[:, 0:1]
+        ll_hi = tab_ref[:, 1:2]
+        d_lo = tab_ref[:, 2:3]
+        d_hi = tab_ref[:, 3:4]
+
+        for j in range(ch - 1, -1, -1):
+            p = base + j + 1
+            np_row = nextpos[0, :]
+            active = np_row == p
+            l = cl_ref[j, :]
+            d = cd_ref[j, :]
+            byte = lit_ref[j, :]
+            is_match = l >= 3
+
+            am = (active & is_match)[None, :]
+            oh = (active & (l == 1))[None, :] & (riota == byte[None, :])
+            oh |= am & (l[None, :] >= ll_lo) & (l[None, :] < ll_hi)
+            oh |= am & (d[None, :] >= d_lo) & (d[None, :] < d_hi)
+            hist[:, :] = hist[:, :] + oh.astype(jnp.float32)
+
+            pl_out[j, :] = jnp.where(active, l, 0)
+            pd_out[j, :] = jnp.where(active, d, 0)
+            nextpos[0, :] = jnp.where(active, p - l, np_row)
+
+        hist_out[:, :] = hist[:, :]
+
+    rev = lambda c: (nch - 1 - c, 0)
+    @jax.jit
+    def run(cl, cd, lit, tile_nbytes, symtab):
+        return pl.pallas_call(
+            kern,
+            grid=(nch,),
+            in_specs=[
+                pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nt), lambda c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((HBINS, 8), lambda c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((HBINS, nt), lambda c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((HBINS, nt), jnp.float32),
+                jax.ShapeDtypeStruct((tile, nt), jnp.int32),
+                jax.ShapeDtypeStruct((tile, nt), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, nt), jnp.int32),
+                pltpu.VMEM((HBINS, nt), jnp.float32),
+            ],
+            interpret=interpret,
+        )(cl, cd, lit, tile_nbytes, symtab)
+
+    return run
+
+
+def traceback_reference(cl, cd, lit, tile_nbytes):
+    """Numpy oracle for make_traceback (same contract, minus symtab)."""
+    tile, nt = cl.shape
+    hist = np.zeros((HBINS, nt), np.float32)
+    pl_o = np.zeros((tile, nt), np.int32)
+    pd_o = np.zeros((tile, nt), np.int32)
+    for lane in range(nt):
+        p = int(tile_nbytes[0, lane])
+        while p > 0:
+            l = int(cl[p - 1, lane])
+            d = int(cd[p - 1, lane])
+            pl_o[p - 1, lane] = l
+            pd_o[p - 1, lane] = d
+            if l >= 3:
+                hist[spec.LENGTH_SYMBOL[l], lane] += 1
+                hist[288 + spec.dist_symbol(max(d, 1)), lane] += 1
+            else:
+                hist[int(lit[p - 1, lane]), lane] += 1
+            p -= l
+    return hist, pl_o, pd_o
+
+
 def scan_reference(bp_len, bp_dist, bp_dcost, litcost, lcost_vec):
     """Pure-numpy oracle for the kernel (tests): same contract as make_scan.
 

@@ -60,7 +60,7 @@ def lz77_optimal_batched(data: np.ndarray, instart: int, inend: int,
     for i in range(numiterations):
         ll_cost = np.stack([s.stats.ll_symbols for s in st])
         d_cost = np.stack([s.stats.d_symbols for s in st])
-        ll_hist, d_hist, _dp = mb.run_iteration(ll_cost, d_cost)
+        ll_hist, d_hist = mb.run_iteration(ll_cost, d_cost)
 
         improved = np.zeros(nb, bool)
         for b in range(nb):
