@@ -37,6 +37,9 @@ class Options:
     # "tpu-serial" — per-block JAX engine (kept for cross-checking)
     engine: str = "native"
     tracer: Optional[Tracer] = None
+    # Master blocks are independent (32 KiB halo) and compress in
+    # parallel across host threads / local devices; 0 = auto.
+    workers: int = 1
 
 
 def default_engine_factory(options: Options) -> Callable:
@@ -271,17 +274,46 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
 
 def deflate(options: Options, btype: int, final: bool, data: np.ndarray,
             out: BitStream, engine_factory=None, greedy_fn=None) -> None:
-    """Full DEFLATE stream over 1 MB master blocks (deflate.c:908-931)."""
+    """Full DEFLATE stream over 1 MB master blocks (deflate.c:908-931).
+
+    Master blocks are mutually independent here (each sees the previous
+    bytes only as its LZ77 window halo), so with options.workers != 1
+    they compress concurrently and their bitstreams are spliced in
+    order — the data-parallel axis of SURVEY.md §5.
+    """
     data = np.ascontiguousarray(np.frombuffer(bytes(data), dtype=np.uint8)
                                 if not isinstance(data, np.ndarray) else data)
     insize = len(data)
+    masters = []
     i = 0
     while True:
         masterfinal = i + spec.MASTER_BLOCK_SIZE >= insize
-        final2 = final and masterfinal
         size = insize - i if masterfinal else spec.MASTER_BLOCK_SIZE
-        deflate_part(options, btype, final2, data, i, i + size, out,
-                     engine_factory, greedy_fn)
+        masters.append((i, i + size, final and masterfinal))
         i += size
         if i >= insize:
             break
+
+    workers = options.workers
+    if workers == 0:
+        import os as _os
+        workers = min(len(masters), _os.cpu_count() or 1)
+    if workers <= 1 or len(masters) <= 1:
+        for (start, end, fin) in masters:
+            deflate_part(options, btype, fin, data, start, end, out,
+                         engine_factory, greedy_fn)
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def work(m):
+        start, end, fin = m
+        part = BitStream()
+        deflate_part(options, btype, fin, data, start, end, part,
+                     engine_factory, greedy_fn)
+        return part
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        parts = list(ex.map(work, masters))
+    for part in parts:
+        out.extend(part)

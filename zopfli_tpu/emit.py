@@ -81,6 +81,30 @@ class BitStream:
         self._segments.append(("bytes", bytes(payload)))
         self._nbits += 8 * len(payload)
 
+    def extend(self, other: "BitStream") -> None:
+        """Splice another stream's staged segments onto this one.
+
+        Valid at ANY bit offset: 'align' segments re-resolve their
+        padding against the global offset at pack time, which is exactly
+        the byte-boundary-skip semantics of stored blocks (RFC 1951
+        3.2.4), so independently compressed master blocks concatenate
+        into one valid stream (the parallel driver relies on this; the
+        reference instead threads its `bp` bit pointer serially,
+        deflate.h:50-56).
+        """
+        self._segments.extend(other._segments)
+        # Recompute our total: other's nbits counted its align pads
+        # against its own offsets; replay against ours instead.
+        nbits = 0
+        for seg in other._segments:
+            if seg[0] == "align":
+                nbits += (-(self._nbits + nbits)) & 7
+            elif seg[0] == "bytes":
+                nbits += 8 * len(seg[1])
+            else:
+                nbits += int(seg[2].sum())
+        self._nbits += nbits
+
     def getvalue(self) -> bytes:
         """Pack all staged segments into bytes (final partial byte zero-padded)."""
         total_bits = self._nbits

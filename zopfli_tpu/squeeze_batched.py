@@ -46,6 +46,9 @@ def lz77_optimal_batched(data: np.ndarray, instart: int, inend: int,
 
     if numiterations < 1:
         raise ValueError("numiterations must be >= 1")
+    if inend == instart:
+        return [LZ77Store(data, np.zeros(0, np.uint16),
+                          np.zeros(0, np.uint16), instart)]
 
     mb = MasterBatch(data, instart, inend, block_bounds, interpret=interpret)
     nb = mb.nb
