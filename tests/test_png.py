@@ -1,0 +1,133 @@
+"""PNG pipeline tests: decode vs PIL oracle, optimize round trips."""
+
+import io
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from zopfli_tpu.png import PNGOptions, chunks, codec, filters, optimize
+
+PIL = pytest.importorskip("PIL.Image")
+
+FIXTURE = "/root/reference/go/zopflipng/testdata/zoidberg.png"
+QUICK = PNGOptions(num_iterations=2, num_iterations_large=2)
+
+
+def _pil_rgba(png_bytes):
+    return np.asarray(PIL.open(io.BytesIO(png_bytes)).convert("RGBA"))
+
+
+def _png_from_array(arr, mode):
+    img = PIL.fromarray(arr, mode)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _check(png_bytes, opts=QUICK):
+    rgba, _ = codec.decode(png_bytes)
+    assert np.array_equal(rgba, _pil_rgba(png_bytes))
+    out = optimize(png_bytes, opts)
+    assert np.array_equal(_pil_rgba(out), _pil_rgba(png_bytes))
+    return out
+
+
+def test_fixture_roundtrip_and_shrink():
+    if not os.path.exists(FIXTURE):
+        pytest.skip("fixture not available")
+    png = open(FIXTURE, "rb").read()
+    out = _check(png)
+    assert len(out) < len(png)
+
+
+def test_rgb_image(rng):
+    arr = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    arr[10:30, 10:50] = [200, 10, 10]  # compressible region
+    _check(_png_from_array(arr, "RGB"))
+
+
+def test_rgba_with_transparency(rng):
+    arr = rng.integers(0, 255, (32, 32, 4), dtype=np.uint8)
+    arr[:8, :, 3] = 0
+    arr[8:, :, 3] = 255
+    _check(_png_from_array(arr, "RGBA"))
+
+
+def test_grayscale():
+    g = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))
+    _check(_png_from_array(g, "L"))
+
+
+def test_palette_image(rng):
+    idx = rng.integers(0, 7, (48, 48), dtype=np.uint8) * 30
+    img = PIL.fromarray(idx, "L").convert("P")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    _check(buf.getvalue())
+
+
+def test_binary_image_packs_to_1bit():
+    arr = np.zeros((40, 40), dtype=np.uint8)
+    arr[::2] = 255
+    out = _check(_png_from_array(arr, "L"))
+    # Our encoder should choose grayscale 1-bit for a 2-color b/w image.
+    cl = chunks.parse(out)
+    ihdr = next(c for c in cl if c.type == "IHDR")
+    assert ihdr.data[8] in (1, 2)  # bitdepth
+
+
+def test_16bit_preserved():
+    arr = (np.arange(32 * 32, dtype=np.uint16).reshape(32, 32) * 37) % 65521
+    img = PIL.fromarray(arr, "I;16")
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+    out = optimize(png, QUICK)
+    a = np.asarray(PIL.open(io.BytesIO(png)))
+    b = np.asarray(PIL.open(io.BytesIO(out)))
+    assert np.array_equal(a, b)
+
+
+def test_lossy_transparent():
+    arr = np.zeros((16, 16, 4), dtype=np.uint8)
+    arr[:, :, :3] = 77
+    arr[:8, :, 3] = 0
+    arr[:8, :, 0] = 231  # junk RGB behind alpha=0
+    arr[8:, :, 3] = 255
+    png = _png_from_array(arr, "RGBA")
+    opts = PNGOptions(num_iterations=2, num_iterations_large=2,
+                      lossy_transparent=True)
+    out = optimize(png, opts)
+    a = _pil_rgba(png)
+    b = _pil_rgba(out)
+    clear = a[:, :, 3] == 0
+    assert np.array_equal(a[~clear], b[~clear])
+    assert np.array_equal(a[:, :, 3], b[:, :, 3])
+
+
+def test_keepchunks():
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    img = PIL.fromarray(arr, "RGB")
+    buf = io.BytesIO()
+    from PIL import PngImagePlugin
+    meta = PngImagePlugin.PngInfo()
+    meta.add_text("Comment", "hello metadata")
+    img.save(buf, format="PNG", pnginfo=meta)
+    png = buf.getvalue()
+    opts = PNGOptions(num_iterations=1, num_iterations_large=1,
+                      keepchunks=["tEXt"])
+    out = optimize(png, opts)
+    kept = [c for c in chunks.parse(out) if c.type == "tEXt"]
+    assert kept and b"hello metadata" in kept[0].data
+
+
+def test_filter_unfilter_roundtrip(rng):
+    img = rng.integers(0, 256, (20, 33), dtype=np.uint8)
+    cand = filters.filter_all_types(img, 3)
+    for strat in range(5):
+        ftypes = np.full(20, strat, dtype=np.int64)
+        raw = filters.serialize(cand, ftypes)
+        rec = filters.unfilter(np.frombuffer(raw, np.uint8), 20, 33, 3)
+        assert np.array_equal(rec, img), strat
