@@ -182,6 +182,8 @@ def block_split_lz77(store: LZ77Store, maxblocks: int) -> list[int]:
 
         def split_cost(i):
             idx = np.atleast_1d(i)
+            if USE_NATIVE_COSTS:
+                return _native_ctx(store).split_costs(lstart, lend, idx)
             return np.array([
                 estimate_cost(store, lstart, int(x))
                 + estimate_cost(store, int(x), lend) for x in idx

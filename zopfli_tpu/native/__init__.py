@@ -61,6 +61,11 @@ def lib() -> ctypes.CDLL:
         l.zt_cost_block.restype = ctypes.c_double
         l.zt_cost_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_int64, ctypes.c_int32]
+        l.zt_split_costs.restype = None
+        l.zt_split_costs.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_int64,
+                                     ctypes.POINTER(ctypes.c_int64),
+                                     ctypes.c_int64, f64p]
         l.zt_cost_dynamic_lengths.restype = ctypes.c_double
         l.zt_cost_dynamic_lengths.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                               ctypes.c_int64, i32p, i32p]
@@ -163,6 +168,17 @@ class CostContext:
     def block_cost(self, lstart: int, lend: int, btype: int) -> float:
         """Exact bits for one block; btype=-1 selects auto-type."""
         return float(self._l.zt_cost_block(self._h, lstart, lend, btype))
+
+    def split_costs(self, lstart: int, lend: int,
+                    idx: np.ndarray) -> np.ndarray:
+        """Batched two-sided auto-type costs for candidate split points."""
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        out = np.empty(len(idx), dtype=np.float64)
+        self._l.zt_split_costs(
+            self._h, lstart, lend,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(idx),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return out
 
     def dynamic_lengths(self, lstart: int, lend: int):
         """(cost_bits, ll_lengths[288], d_lengths[32]) for a dynamic block."""

@@ -627,59 +627,70 @@ static void PackageMerge(const int64_t* freqs, int n, int maxbits,
   }
   if (maxbits > m - 1) maxbits = m - 1;
 
-  std::vector<int> order = used;
-  std::stable_sort(order.begin(), order.end(),
+  // Flat thread-local scratch: the splitter calls this tens of
+  // thousands of times per master block.
+  struct Scratch {
+    std::vector<int> order;
+    std::vector<int64_t> leaf_w, prev_w, cur_w;
+    std::vector<int> pfx_flat;   // maxbits rows of stride (2m+1)
+    std::vector<int> pfx_size;
+    std::vector<int> counts;
+  };
+  static thread_local Scratch sc;
+  sc.order.assign(used.begin(), used.end());
+  std::stable_sort(sc.order.begin(), sc.order.end(),
                    [&](int a, int b) { return freqs[a] < freqs[b]; });
-  std::vector<int64_t> leaf_w(m);
-  for (int i = 0; i < m; ++i) leaf_w[i] = freqs[order[i]];
+  sc.leaf_w.resize(m);
+  for (int i = 0; i < m; ++i) sc.leaf_w[i] = freqs[sc.order[i]];
 
-  // Per level: merged item weights + prefix count of leaves.
-  int cap = 2 * m;  // merged size <= m + (prev_size / 2) <= 2m
-  std::vector<int64_t> prev_w(leaf_w), cur_w(cap);
-  std::vector<int> prev_leafpfx(m + 1), cur_leafpfx;
+  int stride = 2 * m + 1;  // merged size <= m + prev/2 <= 2m
+  sc.pfx_flat.resize((size_t)maxbits * stride);
+  sc.pfx_size.resize(maxbits);
   // leafpfx[i] = #leaves among the first i items of the level's list.
-  std::vector<std::vector<int>> leafpfx_per_level(maxbits);
-  for (int i = 0; i <= m; ++i) prev_leafpfx[i] = i;
-  leafpfx_per_level[0] = prev_leafpfx;
+  int* pfx0 = sc.pfx_flat.data();
+  for (int i = 0; i <= m; ++i) pfx0[i] = i;
+  sc.pfx_size[0] = m;
+  sc.prev_w.resize(stride);
+  sc.cur_w.resize(stride);
+  std::copy(sc.leaf_w.begin(), sc.leaf_w.end(), sc.prev_w.begin());
   int prev_size = m;
 
   for (int level = 1; level < maxbits; ++level) {
     int np = prev_size / 2;
     int size = 0, pi = 0, li = 0;
-    std::vector<int> pfx(np + m + 1);
+    int* pfx = sc.pfx_flat.data() + (size_t)level * stride;
     pfx[0] = 0;
     while (pi < np || li < m) {
-      int64_t pw = pi < np ? prev_w[2 * pi] + prev_w[2 * pi + 1] : 0;
-      bool take_pkg = pi < np && (li >= m || pw <= leaf_w[li]);
+      int64_t pw = pi < np ? sc.prev_w[2 * pi] + sc.prev_w[2 * pi + 1] : 0;
+      bool take_pkg = pi < np && (li >= m || pw <= sc.leaf_w[li]);
       if (take_pkg) {
-        cur_w[size] = pw;
+        sc.cur_w[size] = pw;
         pfx[size + 1] = pfx[size];
         ++pi;
       } else {
-        cur_w[size] = leaf_w[li];
+        sc.cur_w[size] = sc.leaf_w[li];
         pfx[size + 1] = pfx[size] + 1;
         ++li;
       }
       ++size;
     }
-    pfx.resize(size + 1);
-    leafpfx_per_level[level] = pfx;
-    prev_w.assign(cur_w.begin(), cur_w.begin() + size);
+    sc.pfx_size[level] = size;
+    std::swap(sc.prev_w, sc.cur_w);
     prev_size = size;
   }
 
   // Top-down take counts -> per-level leaf counts -> lengths.
   int take = 2 * m - 2;
-  std::vector<int> counts(m, 0);
+  sc.counts.assign(m, 0);
   for (int level = maxbits - 1; level >= 0; --level) {
-    const std::vector<int>& pfx = leafpfx_per_level[level];
-    if (take > (int)pfx.size() - 1) take = (int)pfx.size() - 1;
+    const int* pfx = sc.pfx_flat.data() + (size_t)level * stride;
+    if (take > sc.pfx_size[level]) take = sc.pfx_size[level];
     int leaves_taken = pfx[take];
-    for (int j = 0; j < leaves_taken; ++j) ++counts[j];
+    for (int j = 0; j < leaves_taken; ++j) ++sc.counts[j];
     int packages = take - leaves_taken;
     take = 2 * packages;
   }
-  for (int i = 0; i < m; ++i) lengths[order[i]] = counts[i];
+  for (int i = 0; i < m; ++i) lengths[sc.order[i]] = sc.counts[i];
 }
 
 // Histogram massaging for RLE-friendliness (deflate.c:434-518).
@@ -1023,6 +1034,18 @@ double zt_cost_block(void* ctx, int64_t lstart, int64_t lend, int32_t btype) {
   zt::CostContext* c = (zt::CostContext*)ctx;
   if (btype < 0) return zt::BlockCostAuto(*c, lstart, lend);
   return zt::BlockCost(*c, lstart, lend, btype);
+}
+
+// Batched split-point probe: out[i] = auto-type cost of [lstart, idx[i])
+// plus [idx[i], lend).  One call per FindMinimum round instead of one
+// ctypes round trip per probe (blocksplitter.c:43-96 evaluates up to a
+// whole sub-1024 range linearly).
+void zt_split_costs(void* ctx, int64_t lstart, int64_t lend,
+                    const int64_t* idx, int64_t n, double* out) {
+  zt::CostContext* c = (zt::CostContext*)ctx;
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = zt::BlockCostAuto(*c, lstart, idx[i]) +
+             zt::BlockCostAuto(*c, idx[i], lend);
 }
 
 // Chosen dynamic-tree code lengths for a range (out_ll[288], out_d[32]);

@@ -94,7 +94,7 @@ def _make_prepare_group(cap: int):
         valid = pos_in_tile[None, :] < tile_nbytes[:, None]
         bl = jnp.where(valid[:, :, None], bl, 0)
 
-        dsym = dist_symbol_jax(jnp.maximum(bd, 1))
+        dsym = dist_symbol_jax(jnp.maximum(bd, 1)).astype(jnp.int8)
         return (jnp.transpose(bl, (1, 2, 0)), jnp.transpose(bd, (1, 2, 0)),
                 jnp.transpose(dsym, (1, 2, 0)), jnp.transpose(lit, (1, 0)),
                 jnp.transpose(valid, (1, 0)))
@@ -102,36 +102,55 @@ def _make_prepare_group(cap: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_run_group(scan, traceback):
-    """One fused device call: costs -> DP -> traceback -> block hists."""
+def _make_run_group(scan, traceback, nbyte_values: int):
+    """One fused device call per group per iteration.
+
+    Folds EVERYTHING between host syncs into a single dispatch — cost
+    expansion, forward DP, backward traceback, per-block histograms AND
+    the keep-best update for the *previous* iteration (separate chained
+    dispatches cost hundreds of ms of scheduling latency on the axon
+    transport).  nbyte_values: static padded count of distinct byte
+    values in the master block (literal costs become a select chain;
+    XLA per-lane table gathers are ~15x slower).
+    """
     symtab = np.asarray(scan_kernel.symbol_range_table(), dtype=np.int32)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(10, 11))
     def run_group(ll_cost_b, d_cost_b, bl_t, bd_t, dsym_t, lit_t, valid_t,
-                  tile_block, tile_nbytes, blk_oh):
+                  tile_block, tile_nbytes, blk_oh,
+                  best_pl, best_pd, last_pl, last_pd, improved_lane,
+                  byte_values):
+        # Apply the previous iteration's keep-best decision first.
+        m = improved_lane[None, :]
+        best_pl = jnp.where(m, last_pl, best_pl)
+        best_pd = jnp.where(m, last_pd, best_pd)
+
         ll_t = ll_cost_b[tile_block]          # (LANES, 288)
         d_t = d_cost_b[tile_block]            # (LANES, 32)
 
         lcost_vec = jnp.transpose(ll_t[:, _LSYM] + _LEXTRA[None, :])
 
-        # Distance cost per breakpoint as a 30-way select (XLA gathers
-        # from per-lane tables are ~15x slower than this select chain).
         dplus = d_t + _DSYM_EXTRA[None, :]    # (LANES, 32)
         bp_dcost_t = jnp.zeros(dsym_t.shape, jnp.float32)
         for s in range(30):
-            bp_dcost_t = jnp.where(dsym_t == s, dplus[:, s][None, None, :],
-                                   bp_dcost_t)
+            bp_dcost_t = jnp.where(dsym_t == np.int8(s),
+                                   dplus[:, s][None, None, :], bp_dcost_t)
 
-        litcost = jnp.take_along_axis(ll_t, jnp.transpose(lit_t), axis=1)
-        litcost_t = jnp.where(valid_t, jnp.transpose(litcost),
-                              scan_kernel.BIG)
+        # Literal cost: select chain over the distinct byte values of
+        # this master block (byte_values padded with repeats).
+        litcost_t = jnp.zeros(lit_t.shape, jnp.float32)
+        for k in range(nbyte_values):
+            v = byte_values[k]
+            litcost_t = jnp.where(lit_t == v,
+                                  ll_t[:, v][None, :], litcost_t)
+        litcost_t = jnp.where(valid_t, litcost_t, scan_kernel.BIG)
 
         cl, cd, _cost = scan(bl_t, bd_t, bp_dcost_t, litcost_t, lcost_vec)
         hist, plp, pdp = traceback(cl[1:], cd[1:], lit_t,
                                    tile_nbytes[None, :],
                                    jnp.asarray(symtab))
         hist_b = hist @ blk_oh                # (HBINS, NB)
-        return hist_b, plp, pdp
+        return hist_b, plp, pdp, best_pl, best_pd
     return run_group
 
 
@@ -217,11 +236,26 @@ class MasterBatch:
         data_block[:L] = data[instart:inend]
         data_block_d = jnp.asarray(data_block)
 
+        # Distinct byte values (static padded count -> select-chain
+        # literal costs in the fused call).
+        values = np.unique(data[instart:inend])
+        nv = 32
+        while nv < len(values):
+            nv *= 2
+        self._byte_values = jnp.asarray(np.concatenate(
+            [values, np.full(nv - len(values), values[0], np.uint8)]
+        ).astype(np.int32))
+
         scan = scan_kernel.make_scan(TILE, LANES, KBP, interpret=interpret)
         traceback = scan_kernel.make_traceback(TILE, LANES,
                                                interpret=interpret)
-        self._run_group = _make_run_group(scan, traceback)
+        self._run_group = _make_run_group(scan, traceback, nv)
         prepare = _make_prepare_group(cap)
+
+        def zeros():
+            # Fresh buffer each time: best_pl/best_pd are donated to the
+            # fused call, so no aliasing with last_pl/last_pd.
+            return jnp.zeros((TILE, LANES), jnp.int32)
 
         self._groups = []
         for g in range(self.ngroups):
@@ -238,9 +272,11 @@ class MasterBatch:
                 "tile_block": jnp.asarray(self.tile_block[sl]),
                 "tile_nbytes": jnp.asarray(self.tile_nbytes[sl]),
                 "blk_oh": jnp.asarray(blk_oh),
-                "best": None,
-                "last": None,
+                "best": (zeros(), zeros()),
+                "last": (zeros(), zeros()),
             })
+        # Keep-best mask pending application (folded into the next call).
+        self._pending = np.zeros(self.ngroups * LANES, bool)
 
     def run_iteration(self, ll_cost_b: np.ndarray, d_cost_b: np.ndarray):
         """One DP run for all blocks under per-block cost models.
@@ -252,30 +288,33 @@ class MasterBatch:
         ll = jnp.asarray(np.ascontiguousarray(ll_cost_b, dtype=np.float32))
         dd = jnp.asarray(np.ascontiguousarray(d_cost_b, dtype=np.float32))
         hist = np.zeros((scan_kernel.HBINS, self.nb), np.int64)
-        for grp in self._groups:
+        for g, grp in enumerate(self._groups):
+            sl = slice(g * LANES, (g + 1) * LANES)
             bl_t, bd_t, dsym_t, lit_t, valid_t = grp["prep"]
-            hist_b, plp, pdp = self._run_group(
+            bpl, bpd = grp["best"]
+            lpl, lpd = grp["last"]
+            hist_b, plp, pdp, nbpl, nbpd = self._run_group(
                 ll, dd, bl_t, bd_t, dsym_t, lit_t, valid_t,
-                grp["tile_block"], grp["tile_nbytes"], grp["blk_oh"])
+                grp["tile_block"], grp["tile_nbytes"], grp["blk_oh"],
+                bpl, bpd, lpl, lpd, jnp.asarray(self._pending[sl]),
+                self._byte_values)
             grp["last"] = (plp, pdp)
+            grp["best"] = (nbpl, nbpd)
             hist += np.asarray(hist_b).astype(np.int64)
+        self._pending[:] = False
         ll_hist = np.ascontiguousarray(hist[:spec.NUM_LL].T)
         d_hist = np.ascontiguousarray(hist[spec.NUM_LL:].T)
         return ll_hist, d_hist
 
     def keep_best(self, improved_blocks: np.ndarray) -> None:
-        """Adopt the last run as best for blocks flagged True ((nb,) bool)."""
+        """Flag the last run as best for the given blocks ((nb,) bool).
+
+        The actual device update is folded into the next fused call (or
+        into fetch_parse) — chained standalone dispatches are expensive
+        on the remote transport.
+        """
         imp = np.asarray(improved_blocks, bool)
-        lane_imp = imp[self.tile_block]
-        for g, grp in enumerate(self._groups):
-            sl = slice(g * LANES, (g + 1) * LANES)
-            if grp["best"] is None:
-                grp["best"] = grp["last"]
-            else:
-                bpl, bpd = grp["best"]
-                lpl, lpd = grp["last"]
-                grp["best"] = _keep_best(bpl, bpd, lpl, lpd,
-                                         jnp.asarray(lane_imp[sl]))
+        self._pending = imp[self.tile_block]
 
     def fetch_parse(self, which: str = "best"):
         """Pull the chosen parse (sparse per-position rows) and convert.
@@ -286,10 +325,22 @@ class MasterBatch:
         PL = np.empty((self.ngroups * LANES, TILE), np.int16)
         PD = np.empty_like(PL)
         for g, grp in enumerate(self._groups):
-            pair = grp[which] if grp[which] is not None else grp["last"]
+            sl = slice(g * LANES, (g + 1) * LANES)
+            if which == "best":
+                bpl, bpd = grp["best"]
+                if self._pending[sl].any():
+                    lpl, lpd = grp["last"]
+                    bpl, bpd = _keep_best(bpl, bpd, lpl, lpd,
+                                          jnp.asarray(self._pending[sl]))
+                    grp["best"] = (bpl, bpd)
+                pair = (bpl, bpd)
+            else:
+                pair = grp["last"]
             a, b = _to_i16_pair(*pair)
             PL[g * LANES:(g + 1) * LANES] = np.asarray(a)
             PD[g * LANES:(g + 1) * LANES] = np.asarray(b)
+        if which == "best":
+            self._pending[:] = False
 
         out = []
         t = 0

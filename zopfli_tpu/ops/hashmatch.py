@@ -39,8 +39,11 @@ BUCKET_LEVELS = (3, 4, 8, 16, 32, 64, 128, 256)
 BUCKET_K = {3: 8, 4: 8, 8: 6, 16: 4, 32: 4, 64: 2, 128: 2, 256: 2}
 # LCP doubling levels (descending).
 LCP_LEVELS = (256, 128, 64, 32, 16, 8, 4, 2, 1)
-# Breakpoint slots per position in the condensed sublen table.
-MAX_BP = 16
+# Breakpoint slots per position in the condensed sublen table.  8 slots
+# halve the DP kernel's expansion work vs 16; dropping an interior
+# breakpoint only widens the distance used for its length range (the
+# reference's own sublen cache also keeps 8, util.h:68-74).
+MAX_BP = 8
 
 # Polynomial rolling-hash base (odd, so powers never vanish mod 2^32).
 _P = np.uint32(0x01000193)
