@@ -1,26 +1,30 @@
 """TPU-native match candidate search.
 
 Replaces the reference's serial hash-chain walk (lz77.c:407-542, hash.c)
-with a fully data-parallel formulation:
+with a sort-based, fully data-parallel formulation:
 
-1. A *hash ladder*: rolling u32 hashes of prefixes of length
-   3,4,8,16,...,256 at every position, built by logarithmic doubling
-   (H_{2L}[i] = mix(H_L[i], H_L[i+L])).
-2. Per ladder level, the K most recent earlier occurrences of the same
-   prefix hash, found with one stable sort of (hash, position) and K
-   shifted comparisons — no pointer chasing.
-3. Exact-up-to-hash-collision LCP per candidate by greedy doubling over
-   the ladder (log2(258) equality tests instead of byte loops).
+1. A *fingerprint ladder*: rolling u32 polynomial hashes of prefixes at
+   26 lengths between 3 and 258 (powers of two by doubling, in-between
+   lengths by composition) at every position.
+2. ONE hierarchical sort of all positions by the level-hash tuple — an
+   approximate suffix order quantized to the ladder.  Sorted neighbors
+   are the positions sharing the longest prefixes; the shared-prefix
+   level of any pair is the running minimum of adjacent-pair levels
+   (prefix sharing is transitive), so J neighbors per side yield match
+   candidates with zero gathers.
+3. A second small sort on the exact 3-byte key whose k most recent
+   predecessors give minimal distances for short matches.
 4. The min-distance-per-length step function ("sublen",
-   lz77.h:115-118) as a skyline over (distance, lcp) pairs, condensed to
-   at most `MAX_BP` breakpoints per position.
+   lz77.h:115-118) as a skyline over (distance, length) pairs,
+   condensed to MAX_BP breakpoints per position.
 
-All outputs depend only on the input bytes, so one evaluation per block
-serves every squeeze iteration (this subsumes the reference's
-longest-match cache, cache.c).  Hash collisions can only overstate an
-LCP; the emission path verifies chosen matches on the host and falls
-back to the native engine in the (cryptographically unlikely) failure
-case.
+All outputs depend only on the input bytes, so one evaluation per
+master block serves every squeeze iteration (this subsumes the
+reference's longest-match cache, cache.c).  Match lengths are
+*underestimates* (quantized to the ladder, hash-verified): a shorter
+claim is always a valid match, up to hash collisions, which the
+emission path guards against by verifying chosen matches on the host
+with a transparent fallback to the exact native engine.
 """
 
 from __future__ import annotations
@@ -33,93 +37,76 @@ import numpy as np
 
 from .. import spec
 
-# Ladder of prefix lengths used for candidate buckets.
-BUCKET_LEVELS = (3, 4, 8, 16, 32, 64, 128, 256)
-# Candidates kept per level (most recent occurrences).
-BUCKET_K = {3: 8, 4: 8, 8: 6, 16: 4, 32: 4, 64: 2, 128: 2, 256: 2}
-# LCP doubling levels (descending).
-LCP_LEVELS = (256, 128, 64, 32, 16, 8, 4, 2, 1)
+# Ladder of prefix lengths (quantization grid for match lengths).
+LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48,
+          56, 64, 80, 96, 112, 128, 160, 192, 224, 256)
+# Suffix-order neighbors taken per side.
+NEIGHBORS = 6
+# Levels that get a dedicated most-recent-occurrence candidate (the
+# min-distance occurrence per ladder length — the quantized "sublen"
+# short/mid range where distance precision drives the cost model; long
+# lengths are covered by the suffix neighbors).
+RECENT_LEVELS = (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 48)
 # Breakpoint slots per position in the condensed sublen table.  8 slots
-# halve the DP kernel's expansion work vs 16; dropping an interior
-# breakpoint only widens the distance used for its length range (the
-# reference's own sublen cache also keeps 8, util.h:68-74).
+# match the reference's own sublen cache (util.h:68-74); dropping an
+# interior breakpoint only widens the distance used for its range.
 MAX_BP = 8
 
 # Polynomial rolling-hash base (odd, so powers never vanish mod 2^32).
 _P = np.uint32(0x01000193)
 
 
-def _level_weights():
-    """P^L mod 2^32 per doubling level (position weights stay distinct)."""
-    w = {1: _P}
-    for lvl in (2, 4, 8, 16, 32, 64, 128):
-        w[lvl] = np.uint32((np.uint64(w[lvl // 2]) * np.uint64(w[lvl // 2]))
-                           & np.uint64(0xFFFFFFFF))
-    return w
-
-
-_PW = _level_weights()
+def _pow_mod(e: int) -> np.uint32:
+    r = np.uint64(1)
+    b = np.uint64(_P)
+    while e:
+        if e & 1:
+            r = (r * b) & np.uint64(0xFFFFFFFF)
+        b = (b * b) & np.uint64(0xFFFFFFFF)
+        e >>= 1
+    return np.uint32(r)
 
 
 def _ladder(data_padded: jnp.ndarray) -> dict[int, jnp.ndarray]:
-    """u32 prefix hashes per level; data must be padded by >=256 bytes.
+    """u32 prefix hashes for every LEVELS entry (+ pow2 scaffolding).
 
-    Polynomial hash H(s) = sum b[k] * P^(L-1-k): composition by doubling
-    is H_{2L}[i] = H_L[i] * P^L + H_L[i+L], giving every byte position a
-    distinct weight (a plain xor-mix collides systematically on runs).
+    Polynomial hash H(s) = sum b[k] * P^(L-1-k): composition
+    H_{a+b}[i] = H_a[i] * P^b + H_b[i+a] builds any length from
+    power-of-two pieces (data must be padded by >= 256 bytes).
     """
+    n = data_padded.shape[0]
     h = {1: data_padded.astype(jnp.uint32)}
+
+    def shifted(arr, by):
+        return jnp.concatenate([arr[by:], jnp.zeros(by, jnp.uint32)])
+
     for lvl in (2, 4, 8, 16, 32, 64, 128, 256):
         half = lvl // 2
-        prev = h[half]
-        shifted = jnp.concatenate(
-            [prev[half:], jnp.zeros(half, jnp.uint32)])
-        h[lvl] = prev * jnp.uint32(_PW[half]) + shifted
-    # Exact 3-byte key (24 bits, collision-free) for the shortest level.
+        h[lvl] = h[half] * jnp.uint32(_pow_mod(half)) + shifted(h[half], half)
+
+    def compose(parts):
+        acc = None
+        off = 0
+        for p in parts:
+            piece = shifted(h[p], off) if off else h[p]
+            acc = piece if acc is None else \
+                acc * jnp.uint32(_pow_mod(p)) + piece
+            off += p
+        return acc
+
+    decomp = {3: (2, 1), 5: (4, 1), 6: (4, 2), 7: (4, 2, 1),
+              10: (8, 2), 12: (8, 4), 14: (8, 4, 2), 20: (16, 4),
+              24: (16, 8), 28: (16, 8, 4), 40: (32, 8), 48: (32, 16),
+              56: (32, 16, 8), 80: (64, 16), 96: (64, 32),
+              112: (64, 32, 16), 160: (128, 32), 192: (128, 64),
+              224: (128, 64, 32)}
+    for lvl, parts in decomp.items():
+        h[lvl] = compose(parts)
+
+    # Exact 3-byte key (24 bits, collision-free) replaces the hashed 3.
     b = data_padded.astype(jnp.uint32)
-    b1 = jnp.concatenate([b[1:], jnp.zeros(1, jnp.uint32)])
-    b2 = jnp.concatenate([b[2:], jnp.zeros(2, jnp.uint32)])
-    h[3] = (b << 16) | (b1 << 8) | b2
+    h[3] = (b << 16) | (shifted(b, 1) << 8) | shifted(b, 2)
     return h
-
-
-def _recent_same_hash(h: jnp.ndarray, k: int,
-                      min_pos: jnp.ndarray) -> jnp.ndarray:
-    """For each position, its k most recent predecessors with equal hash.
-
-    Returns (n, k) int32 of candidate positions, -1 where none.  One
-    stable sort groups equal hashes with positions ascending; the j-th
-    predecessor is the row j slots earlier in sorted order.  Candidates
-    below min_pos (outside the valid window prefix) are rejected.
-    """
-    n = h.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    sorted_h, sorted_idx = jax.lax.sort((h, idx), num_keys=1, is_stable=True)
-    cands = []
-    for j in range(1, k + 1):
-        prev_idx = jnp.concatenate(
-            [jnp.full(j, -1, jnp.int32), sorted_idx[:-j]])
-        prev_h = jnp.concatenate([jnp.zeros(j, h.dtype), sorted_h[:-j]])
-        same = (prev_h == sorted_h) & (prev_idx >= min_pos)
-        dist = sorted_idx - prev_idx
-        ok = same & (dist >= 1) & (dist <= spec.WINDOW_SIZE)
-        cands.append(jnp.where(ok, prev_idx, -1))
-    cand_sorted = jnp.stack(cands, axis=1)  # (n, k) in sorted order
-    out = jnp.full((n, k), -1, jnp.int32)
-    out = out.at[sorted_idx].set(cand_sorted)
-    return out
-
-
-def _lcp(h: dict[int, jnp.ndarray], i: jnp.ndarray, c: jnp.ndarray,
-         cap: jnp.ndarray) -> jnp.ndarray:
-    """Greedy-doubling longest common prefix of positions i and c, <= cap."""
-    ln = jnp.zeros_like(i)
-    for lvl in LCP_LEVELS:
-        fits = ln + lvl <= cap
-        a = jnp.take(h[lvl], jnp.where(fits, i + ln, 0), mode="clip")
-        b = jnp.take(h[lvl], jnp.where(fits, c + ln, 0), mode="clip")
-        ln = jnp.where(fits & (a == b), ln + lvl, ln)
-    return ln
 
 
 # Fixed window-prefix length in the padded block layout: the block's
@@ -129,14 +116,35 @@ def _lcp(h: dict[int, jnp.ndarray], i: jnp.ndarray, c: jnp.ndarray,
 PREFIX = spec.WINDOW_SIZE
 
 
+def _recent_same_key(key: jnp.ndarray, k: int,
+                     min_pos: jnp.ndarray) -> jnp.ndarray:
+    """For each position, its k most recent predecessors with equal key."""
+    n = key.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sorted_k, sorted_idx = jax.lax.sort((key, idx), num_keys=1,
+                                        is_stable=True)
+    cands = []
+    for j in range(1, k + 1):
+        prev_idx = jnp.concatenate(
+            [jnp.full(j, -1, jnp.int32), sorted_idx[:-j]])
+        prev_k = jnp.concatenate([jnp.zeros(j, key.dtype), sorted_k[:-j]])
+        same = (prev_k == sorted_k) & (prev_idx >= min_pos)
+        dist = sorted_idx - prev_idx
+        ok = same & (dist >= 1) & (dist <= spec.WINDOW_SIZE)
+        cands.append(jnp.where(ok, prev_idx, -1))
+    cand_sorted = jnp.stack(cands, axis=1)
+    out = jnp.full((n, k), -1, jnp.int32)
+    out = out.at[sorted_idx].set(cand_sorted)
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def build_candidates(data_padded: jnp.ndarray, block_cap: int,
                      min_pos: jnp.ndarray, inend_real: jnp.ndarray):
     """Per-position condensed sublen tables for a block.
 
     data_padded: uint8 of length PREFIX + block_cap + >=258; the block
-        occupies rows [PREFIX, PREFIX + real_len) with real_len <=
-        block_cap (padding rows produce garbage that callers mask).
+    occupies rows [PREFIX, PREFIX + real_len).
     block_cap: static padded block length (bucketed to limit recompiles).
     min_pos: first row holding a real byte (PREFIX - prefix_len).
     inend_real: PREFIX + real block length.
@@ -148,35 +156,130 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
       best_len (block_cap,) int32 — longest match, <3 if none
     """
     h = _ladder(data_padded)
-    L = block_cap
+    n = data_padded.shape[0]
     instart = PREFIX
+    L = block_cap
+    nl = len(LEVELS)
 
-    # Candidate positions per level, sliced to the block rows.
-    cand_cols = []
-    for lvl in BUCKET_LEVELS:
-        k = BUCKET_K[lvl]
-        cands = _recent_same_hash(h[lvl], k, min_pos)[instart:instart + L]
-        cand_cols.append(cands)
-    cand = jnp.concatenate(cand_cols, axis=1)  # (L, C)
-    C = cand.shape[1]
+    # Hierarchical (approximate-suffix) order via LSD radix: stable
+    # single-key sorts from the longest prefix hash down to the exact
+    # 3-byte key (a single 26-key comparator sort takes XLA forever to
+    # compile; 26 small sorts compile and run fast).
+    sidx = jnp.arange(n, dtype=jnp.int32)
+    for lvl in reversed(LEVELS):
+        k = h[lvl][sidx]
+        _, sidx = jax.lax.sort((k, sidx), num_keys=1, is_stable=True)
+    skeys = [h[lvl][sidx] for lvl in LEVELS]
 
-    pos = jnp.arange(L, dtype=jnp.int32)[:, None] + instart  # (L,1)
-    cap = jnp.clip(inend_real - pos, 0, spec.MAX_MATCH)  # (L,1)
-    valid = cand >= 0
-    cand_safe = jnp.where(valid, cand, 0)
-    lcp = _lcp(h, jnp.broadcast_to(pos, (L, C)), cand_safe,
-               jnp.broadcast_to(cap, (L, C)))
-    lcp = jnp.where(valid, lcp, 0)
-    dist = jnp.where(valid, pos - cand, spec.WINDOW_SIZE + 1)
+    # Adjacent-pair shared-prefix level index (0 = not even 3 bytes).
+    all_eq = jnp.ones(n, bool)
+    adj_lvl = jnp.zeros(n, jnp.int8)
+    for li in range(nl):
+        sk = skeys[li]
+        eq = jnp.concatenate(
+            [jnp.zeros(1, bool), sk[1:] == sk[:-1]])
+        all_eq = all_eq & eq
+        adj_lvl = jnp.where(all_eq, np.int8(li + 1), adj_lvl)
 
-    # Deduplicate/skyline: sort by distance ascending; keep candidates
-    # whose lcp strictly exceeds every smaller-distance lcp.
+    # Neighbor candidates: positions j slots away in suffix order, with
+    # pairwise level = running min of adjacent levels (transitivity).
+    cand_list = []
+    lvl_list = []
+    run_prev = None
+    run_next = None
+    for j in range(1, NEIGHBORS + 1):
+        # previous neighbor at sorted slot i-j: chain over adj[i-j+1..i]
+        if run_prev is None:
+            run_prev = adj_lvl
+        else:
+            shifted = jnp.concatenate(
+                [jnp.zeros(j - 1, jnp.int8), adj_lvl[:-(j - 1)]])
+            run_prev = jnp.minimum(run_prev, shifted)
+        cprev = jnp.concatenate(
+            [jnp.full(j, -1, jnp.int32), sidx[:-j]])
+        cand_list.append(cprev)
+        lvl_list.append(run_prev)
+        # next neighbor at sorted slot i+j: chain over adj[i+1..i+j]
+        nshift = jnp.concatenate(
+            [adj_lvl[j:], jnp.zeros(j, jnp.int8)])
+        if run_next is None:
+            run_next = nshift
+        else:
+            run_next = jnp.minimum(run_next, nshift)
+        cnext = jnp.concatenate(
+            [sidx[j:], jnp.full(j, -1, jnp.int32)])
+        cand_list.append(cnext)
+        lvl_list.append(run_next)
+
+    cand_sorted = jnp.stack(cand_list, axis=1)       # (n, 2J) positions
+    lvl_sorted = jnp.stack(lvl_list, axis=1)         # (n, 2J) level idx
+
+    # Back to position order.
+    cand_pos = jnp.full((n, 2 * NEIGHBORS), -1, jnp.int32)
+    cand_pos = cand_pos.at[sidx].set(cand_sorted)
+    cand_lvl = jnp.zeros((n, 2 * NEIGHBORS), jnp.int8)
+    cand_lvl = cand_lvl.at[sidx].set(lvl_sorted)
+
+    # Slice to block rows.
+    cand_pos = cand_pos[instart:instart + L]
+    cand_lvl = cand_lvl[instart:instart + L]
+
+    pos = jnp.arange(L, dtype=jnp.int32)[:, None] + instart
+    cap = jnp.clip(inend_real - pos, 0, spec.MAX_MATCH)   # (L, 1)
+
+    # Suffix-neighbor candidates: length from quantized level.
+    ln_n = jnp.zeros(cand_lvl.shape, jnp.int32)
+    for li in range(1, nl + 1):
+        ln_n = jnp.where(cand_lvl == np.int8(li),
+                         np.int32(LEVELS[li - 1]), ln_n)
+    valid_n = (cand_pos >= 0) & (cand_pos >= min_pos) & (cand_pos < pos)
+    dist_n = jnp.where(valid_n, pos - cand_pos, spec.WINDOW_SIZE + 1)
+    ln_n = jnp.where(valid_n & (dist_n <= spec.WINDOW_SIZE), ln_n, 0)
+    ln_n = jnp.minimum(ln_n, cap)
+
+    # Per-level most-recent candidates: the minimum distance achieving
+    # each ladder length (distance precision for short/mid matches).
+    ln_parts = [ln_n]
+    dist_parts = [dist_n]
+    for lvl in RECENT_LEVELS:
+        recent = _recent_same_key(h[lvl], 1, min_pos)[instart:instart + L]
+        valid_r = recent >= 0
+        dist_r = jnp.where(valid_r, pos - recent, spec.WINDOW_SIZE + 1)
+        ln_r = jnp.where(valid_r, np.int32(lvl), 0)
+        ln_parts.append(jnp.minimum(ln_r, cap))
+        dist_parts.append(dist_r)
+
+    lcp = jnp.concatenate(ln_parts, axis=1)
+    dist = jnp.concatenate(dist_parts, axis=1)
+    C = lcp.shape[1]
+
+    # Exact greedy-doubling refinement of the single best candidate per
+    # position (one pair per position, so the gathers stay small): the
+    # longest matches are where ladder quantization costs most.
+    rows1 = jnp.arange(L, dtype=jnp.int32)
+    bestk = jnp.argmax(lcp, axis=1)
+    bdist = dist[rows1, bestk]
+    has = lcp[rows1, bestk] >= spec.MIN_MATCH
+    p1 = pos[:, 0]
+    c1 = jnp.where(has, p1 - bdist, 0)
+    ln = jnp.zeros(L, jnp.int32)
+    cap1 = cap[:, 0]
+    for lvl in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        fits = has & (ln + lvl <= cap1)
+        a = jnp.take(h[lvl], jnp.where(fits, p1 + ln, 0), mode="clip")
+        b = jnp.take(h[lvl], jnp.where(fits, c1 + ln, 0), mode="clip")
+        ln = jnp.where(fits & (a == b), ln + lvl, ln)
+    refined = jnp.maximum(lcp[rows1, bestk], jnp.where(has, ln, 0))
+    lcp = lcp.at[rows1, bestk].set(refined)
+
+    # Skyline: sort by distance ascending; keep candidates whose length
+    # strictly exceeds every smaller-distance length.
     order = jnp.argsort(dist, axis=1)
     dist_s = jnp.take_along_axis(dist, order, axis=1)
     lcp_s = jnp.take_along_axis(lcp, order, axis=1)
     run_best = jax.lax.cummax(
-        jnp.concatenate([jnp.full((L, 1), spec.MIN_MATCH - 1), lcp_s[:, :-1]],
-                        axis=1), axis=1)
+        jnp.concatenate([jnp.full((L, 1), spec.MIN_MATCH - 1),
+                         lcp_s[:, :-1]], axis=1), axis=1)
     keep = (lcp_s > run_best) & (lcp_s >= spec.MIN_MATCH) & \
         (dist_s <= spec.WINDOW_SIZE)
 
@@ -184,12 +287,10 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
 
     # Compact kept entries to the front, preserving order.
     slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-    slot = jnp.where(keep, slot, C)  # parked at overflow column
+    slot = jnp.where(keep, slot, C)
     nkept = jnp.sum(keep, axis=1)
 
-    # Condense to MAX_BP slots: keep the first MAX_BP-1 plus the final
-    # (longest) breakpoint.  Dropping an interior breakpoint only widens
-    # the distance used for its length range — still a valid match.
+    # Condense to MAX_BP slots: first MAX_BP-1 plus the final (longest).
     last_slot = nkept - 1
     is_last = slot == last_slot[:, None]
     slot_c = jnp.where(
@@ -199,7 +300,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     bp_len = jnp.zeros((L, MAX_BP + 1), jnp.int32)
     bp_dist = jnp.zeros((L, MAX_BP + 1), jnp.int32)
     rows = jnp.arange(L, dtype=jnp.int32)[:, None]
-    slot_c = jnp.minimum(slot_c, MAX_BP)  # overflow -> scratch column
+    slot_c = jnp.minimum(slot_c, MAX_BP)
     bp_len = bp_len.at[rows, slot_c].set(jnp.where(keep, lcp_s, 0))
     bp_dist = bp_dist.at[rows, slot_c].set(jnp.where(keep, dist_s, 0))
     return bp_len[:, :MAX_BP], bp_dist[:, :MAX_BP], best_len
