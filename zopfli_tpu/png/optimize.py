@@ -256,12 +256,19 @@ def optimize(origpng: bytes, png_options: PNGOptions | None = None,
     keep_before_plte, keep_before_idat, keep_after = _keepchunks(
         info.chunks, opts.keepchunks)
 
+    # -q mode: quick stock deflate instead of the zopfli-class core
+    # (reference use_zopfli=false, zopflipng_lib.cc:51-55).
+    deflater = None
+    if not opts.use_zopfli:
+        deflater = lambda raw: _z.compress(raw, 9)
+
     best_png = None
     for name in strategies:
         ftypes = _strategy_ftypes(name, cand, spec, None,
                                   predefined=predefined)
         out = codec.encode(spec, ftypes, full_opts,
-                           (keep_before_plte, keep_before_idat, keep_after))
+                           (keep_before_plte, keep_before_idat, keep_after),
+                           deflater=deflater)
         if verbose:
             print(f"strategy {name}: {len(out)} bytes")
         if best_png is None or len(out) < len(best_png):
