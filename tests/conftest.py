@@ -6,9 +6,25 @@ jax import.
 """
 
 import os
+import subprocess
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# On axon-attached machines the TPU plugin registers at interpreter
+# startup (sitecustomize) and pins the backend before any conftest code
+# runs; the only reliable switch is the env of a fresh interpreter.
+# Re-exec pytest once with the axon trigger cleared and CPU forced.
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("ZT_TEST_REEXEC") != "1"):
+    env = dict(os.environ)
+    env.update({
+        "PALLAS_AXON_POOL_IPS": "",
+        "JAX_PLATFORMS": "cpu",
+        "ZT_TEST_REEXEC": "1",
+    })
+    raise SystemExit(subprocess.call(
+        [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env))
+
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Small batched-engine geometry: interpret-mode Pallas kernels on CPU
 # are compiled per (tile, lanes) shape; keep them tiny.
 os.environ.setdefault("ZT_TILE", "1024")
