@@ -41,12 +41,12 @@ from .. import spec
 LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48,
           56, 64, 80, 96, 112, 128, 160, 192, 224, 256)
 # Suffix-order neighbors taken per side.
-NEIGHBORS = 6
+NEIGHBORS = 8
 # Levels that get a dedicated most-recent-occurrence candidate (the
 # min-distance occurrence per ladder length — the quantized "sublen"
 # short/mid range where distance precision drives the cost model; long
 # lengths are covered by the suffix neighbors).
-RECENT_LEVELS = (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 48)
+RECENT_LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 48, 64)
 # Breakpoint slots per position in the condensed sublen table.  8 slots
 # match the reference's own sublen cache (util.h:68-74); dropping an
 # interior breakpoint only widens the distance used for its range.
@@ -253,24 +253,29 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     dist = jnp.concatenate(dist_parts, axis=1)
     C = lcp.shape[1]
 
-    # Exact greedy-doubling refinement of the single best candidate per
-    # position (one pair per position, so the gathers stay small): the
-    # longest matches are where ladder quantization costs most.
+    # Exact greedy-doubling refinement of the two best candidates per
+    # position (two pairs per position keep the gathers small): the
+    # longest matches are where ladder quantization costs most, and the
+    # runner-up often has a much smaller distance.
     rows1 = jnp.arange(L, dtype=jnp.int32)
-    bestk = jnp.argmax(lcp, axis=1)
-    bdist = dist[rows1, bestk]
-    has = lcp[rows1, bestk] >= spec.MIN_MATCH
     p1 = pos[:, 0]
-    c1 = jnp.where(has, p1 - bdist, 0)
-    ln = jnp.zeros(L, jnp.int32)
     cap1 = cap[:, 0]
-    for lvl in (256, 128, 64, 32, 16, 8, 4, 2, 1):
-        fits = has & (ln + lvl <= cap1)
-        a = jnp.take(h[lvl], jnp.where(fits, p1 + ln, 0), mode="clip")
-        b = jnp.take(h[lvl], jnp.where(fits, c1 + ln, 0), mode="clip")
-        ln = jnp.where(fits & (a == b), ln + lvl, ln)
-    refined = jnp.maximum(lcp[rows1, bestk], jnp.where(has, ln, 0))
-    lcp = lcp.at[rows1, bestk].set(refined)
+    lcp_work = lcp
+    for _ in range(2):
+        bestk = jnp.argmax(lcp_work, axis=1)
+        bdist = dist[rows1, bestk]
+        has = lcp_work[rows1, bestk] >= spec.MIN_MATCH
+        c1 = jnp.where(has, p1 - bdist, 0)
+        ln = jnp.zeros(L, jnp.int32)
+        for lvl in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+            fits = has & (ln + lvl <= cap1)
+            a = jnp.take(h[lvl], jnp.where(fits, p1 + ln, 0), mode="clip")
+            b = jnp.take(h[lvl], jnp.where(fits, c1 + ln, 0), mode="clip")
+            ln = jnp.where(fits & (a == b), ln + lvl, ln)
+        refined = jnp.maximum(lcp[rows1, bestk], jnp.where(has, ln, 0))
+        lcp = lcp.at[rows1, bestk].set(refined)
+        # Mask this slot out so the next round refines the runner-up.
+        lcp_work = lcp_work.at[rows1, bestk].set(0)
 
     # Skyline: sort by distance ascending; keep candidates whose length
     # strictly exceeds every smaller-distance length.
