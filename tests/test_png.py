@@ -131,3 +131,35 @@ def test_filter_unfilter_roundtrip(rng):
         raw = filters.serialize(cand, ftypes)
         rec = filters.unfilter(np.frombuffer(raw, np.uint8), 20, 33, 3)
         assert np.array_equal(rec, img), strat
+
+
+def _make_interlaced_png(arr):
+    """Hand-assemble an Adam7-interlaced RGB8 PNG (filter 0 lines)."""
+    import zlib as _z
+    from zopfli_tpu.png.chunks import Chunk, assemble
+    h, w, _ = arr.shape
+    raw = bytearray()
+    for (x0, y0, dx, dy) in codec._ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for y in range(ph):
+            raw.append(0)
+            raw.extend(sub[y].tobytes())
+    idat = _z.compress(bytes(raw), 6)
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big") +
+            bytes([8, 2, 0, 0, 1]))
+    return assemble([Chunk("IHDR", ihdr), Chunk("IDAT", idat),
+                     Chunk("IEND", b"")])
+
+
+def test_interlaced_decode_and_optimize(rng):
+    arr = (rng.integers(0, 256, (19, 23, 3))).astype(np.uint8)
+    png = _make_interlaced_png(arr)
+    rgba, info = codec.decode(png)
+    assert info.interlace == 1
+    assert np.array_equal(rgba[:, :, :3], arr)
+    assert np.array_equal(rgba, _pil_rgba(png))  # PIL cross-check
+    out = optimize(png, QUICK)   # re-encoded non-interlaced
+    assert np.array_equal(_pil_rgba(out), _pil_rgba(png))

@@ -28,8 +28,8 @@ from . import filters as filtlib
 CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 # Adam7 pass grids: (x0, y0, dx, dy) per pass (RFC 2083 §8.2).
-_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 4, 4, 4),
-          (0, 2, 2, 4), (1, 2, 2, 2), (0, 1, 1, 2)]
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
 @dataclass
