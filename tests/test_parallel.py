@@ -65,3 +65,10 @@ def test_multihost_single_process(rng):
         out = compress_multihost(data, fmt, Options(numiterations=2))
         assert zlib.decompress(out, hdr) == data
     assert zlib.decompress(compress_multihost(b"", "gzip"), 16 + 15) == b""
+
+
+def test_multihost_matches_serial_bytes(rng):
+    data = _big(rng, 1_500_000)
+    serial = zopfli_tpu.compress(data, "gzip", Options(numiterations=2))
+    mh = compress_multihost(data, "gzip", Options(numiterations=2))
+    assert mh == serial
