@@ -136,13 +136,19 @@ def _make_run_group(scan, traceback, nbyte_values: int):
             bp_dcost_t = jnp.where(dsym_t == np.int8(s),
                                    dplus[:, s][None, None, :], bp_dcost_t)
 
-        # Literal cost: select chain over the distinct byte values of
-        # this master block (byte_values padded with repeats).
-        litcost_t = jnp.zeros(lit_t.shape, jnp.float32)
-        for k in range(nbyte_values):
-            v = byte_values[k]
-            litcost_t = jnp.where(lit_t == v,
-                                  ll_t[:, v][None, :], litcost_t)
+        # Literal cost: select chain over the distinct byte values when
+        # the alphabet is small (beats XLA's per-lane gather ~15x); wide
+        # alphabets (e.g. random data) fall back to the gather.
+        if nbyte_values <= 64:
+            litcost_t = jnp.zeros(lit_t.shape, jnp.float32)
+            for k in range(nbyte_values):
+                v = byte_values[k]
+                litcost_t = jnp.where(lit_t == v,
+                                      ll_t[:, v][None, :], litcost_t)
+        else:
+            litcost = jnp.take_along_axis(ll_t, jnp.transpose(lit_t),
+                                          axis=1)
+            litcost_t = jnp.transpose(litcost)
         litcost_t = jnp.where(valid_t, litcost_t, scan_kernel.BIG)
 
         cl, cd, _cost = scan(bl_t, bd_t, bp_dcost_t, litcost_t, lcost_vec)
@@ -242,6 +248,10 @@ class MasterBatch:
         nv = 32
         while nv < len(values):
             nv *= 2
+        # > 64 distinct bytes switches run_group to the gather path,
+        # where the values are unused: one shared bucket.
+        nv = min(nv, 128)
+        values = values[:nv]
         self._byte_values = jnp.asarray(np.concatenate(
             [values, np.full(nv - len(values), values[0], np.uint8)]
         ).astype(np.int32))
