@@ -370,22 +370,7 @@ struct BlockEngine {
   // breakpoint list into sublen[0..258]; returns the best length.
   uint16_t Candidates(ChainIndex& ix, int64_t j, uint16_t* sublen,
                       uint16_t* dist) {
-    if (bp_start[j] < 0) {
-      uint16_t d, l;
-      uint16_t sl[kMaxMatch + 1];
-      FindMatch(ix, data, instart + j, inend, kMaxMatch, sl, &d, &l);
-      bp_start[j] = (int64_t)arena.size();
-      best_len[j] = l;
-      best_dist[j] = d;
-      int cnt = 0;
-      for (int k = kMinMatch; k <= l; ++k) {
-        if (k == l || sl[k] != sl[k + 1]) {
-          arena.push_back({(uint16_t)k, sl[k]});
-          ++cnt;
-        }
-      }
-      bp_count[j] = cnt;
-    }
+    EnsureMemo(ix, j);
     // Expand breakpoints into sublen.
     const Breakpoint* bp = arena.data() + bp_start[j];
     int prev = kMinMatch;
@@ -395,6 +380,34 @@ struct BlockEngine {
     }
     *dist = best_dist[j];
     return best_len[j];
+  }
+
+  // Breakpoint view without the sublen expansion (the DP hot path
+  // iterates breakpoints directly).
+  uint16_t CandidatesBp(ChainIndex& ix, int64_t j, const Breakpoint** bp,
+                        int* cnt) {
+    EnsureMemo(ix, j);
+    *bp = arena.data() + bp_start[j];
+    *cnt = bp_count[j];
+    return best_len[j];
+  }
+
+  void EnsureMemo(ChainIndex& ix, int64_t j) {
+    if (bp_start[j] >= 0) return;
+    uint16_t d, l;
+    uint16_t sl[kMaxMatch + 1];
+    FindMatch(ix, data, instart + j, inend, kMaxMatch, sl, &d, &l);
+    bp_start[j] = (int64_t)arena.size();
+    best_len[j] = l;
+    best_dist[j] = d;
+    int cnt = 0;
+    for (int k = kMinMatch; k <= l; ++k) {
+      if (k == l || sl[k] != sl[k + 1]) {
+        arena.push_back({(uint16_t)k, sl[k]});
+        ++cnt;
+      }
+    }
+    bp_count[j] = cnt;
   }
 };
 
@@ -466,7 +479,25 @@ static int64_t SqueezeRun(BlockEngine& eng, const CostModel& cm,
   len_arr[0] = 0;
 
   double mincost = cm.MinCost();
-  uint16_t sublen[kMaxMatch + 1];
+
+  // Per-run cost tables so the hot loop is pure adds + compares while
+  // reproducing cm.Cost's exact double evaluation order:
+  //   stat:  ((LE[k] + DE(d)) + ll[lsym(k)]) + d[dsym(d)]
+  //   fixed: ((base(k) + 5) + DE(d)) + LE[k]   (all small ints: exact)
+  double le_tab[kMaxMatch + 1];      // LengthExtraBits(k)
+  double lit_tab[256];               // cost of literal byte b
+  double ll_by_len[kMaxMatch + 1];   // stat: ll[LengthSymbol(k)]
+  double fx_base5[kMaxMatch + 1];    // fixed: base(k) + 5
+  for (int k = kMinMatch; k <= kMaxMatch; ++k) {
+    le_tab[k] = LengthExtraBits(k);
+    if (cm.fixed) {
+      fx_base5[k] = (LengthSymbol(k) <= 279 ? 7.0 : 8.0) + 5.0;
+    } else {
+      ll_by_len[k] = cm.ll[LengthSymbol(k)];
+    }
+  }
+  for (int b = 0; b < 256; ++b)
+    lit_tab[b] = cm.fixed ? (b <= 143 ? 8.0 : 9.0) : cm.ll[b];
 
   for (int64_t i = instart; i < inend; ++i) {
     int64_t j = i - instart;
@@ -488,29 +519,52 @@ static int64_t SqueezeRun(BlockEngine& eng, const CostModel& cm,
       }
     }
 
-    uint16_t dist;
-    uint16_t leng = eng.Candidates(ix, j, sublen, &dist);
+    const Breakpoint* bp;
+    int bpcnt;
+    uint16_t leng = eng.CandidatesBp(ix, j, &bp, &bpcnt);
 
     // Literal edge.
     if (i + 1 <= inend) {
-      double newcost = cm.Cost(data[i], 0) + costs[j];
+      double newcost = lit_tab[data[i]] + costs[j];
       if (newcost < costs[j + 1]) {
         costs[j + 1] = (float)newcost;
         len_arr[j + 1] = 1;
         dist_arr[j + 1] = 0;
       }
     }
-    // Match edges at every length, each at its min distance.
+    // Match edges per breakpoint: the distance (and its cost terms) is
+    // constant over each breakpoint's length range.
     int64_t kend = leng < inend - i ? leng : inend - i;
     double mincostaddcostj = mincost + costs[j];
-    for (int64_t k = kMinMatch; k <= kend; ++k) {
-      if (costs[j + k] <= mincostaddcostj) continue;
-      double newcost = cm.Cost((unsigned)k, sublen[k]) + costs[j];
-      if (newcost < costs[j + k]) {
-        costs[j + k] = (float)newcost;
-        len_arr[j + k] = (uint16_t)k;
-        dist_arr[j + k] = sublen[k];
+    double cj = costs[j];
+    int lo = kMinMatch;
+    for (int c = 0; c < bpcnt && lo <= kend; ++c) {
+      uint16_t d = bp[c].dist;
+      int hi = bp[c].len < kend ? bp[c].len : (int)kend;
+      double de = DistExtraBits(d);
+      if (cm.fixed) {
+        for (int k = lo; k <= hi; ++k) {
+          if (costs[j + k] <= mincostaddcostj) continue;
+          double newcost = (((fx_base5[k] + de)) + le_tab[k]) + cj;
+          if (newcost < costs[j + k]) {
+            costs[j + k] = (float)newcost;
+            len_arr[j + k] = (uint16_t)k;
+            dist_arr[j + k] = d;
+          }
+        }
+      } else {
+        double dd = cm.d[DistSymbol(d)];
+        for (int k = lo; k <= hi; ++k) {
+          if (costs[j + k] <= mincostaddcostj) continue;
+          double newcost = (((le_tab[k] + de) + ll_by_len[k]) + dd) + cj;
+          if (newcost < costs[j + k]) {
+            costs[j + k] = (float)newcost;
+            len_arr[j + k] = (uint16_t)k;
+            dist_arr[j + k] = d;
+          }
+        }
       }
+      lo = bp[c].len + 1;
     }
   }
 
