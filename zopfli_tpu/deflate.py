@@ -306,14 +306,30 @@ def deflate(options: Options, btype: int, final: bool, data: np.ndarray,
 
     from concurrent.futures import ThreadPoolExecutor
 
-    def work(m):
-        start, end, fin = m
+    # On multi-device hosts, round-robin masters over local devices:
+    # each worker's device work lands on its master's chip (the
+    # data-parallel axis of SURVEY.md §5; no collectives needed).
+    devices = None
+    if options.engine in ("tpu", "tpu-serial"):
+        import jax
+        devs = jax.local_devices()
+        if len(devs) > 1:
+            devices = devs
+
+    def work(im):
+        i, (start, end, fin) = im
         part = BitStream()
-        deflate_part(options, btype, fin, data, start, end, part,
-                     engine_factory, greedy_fn)
+        if devices is not None:
+            import jax
+            with jax.default_device(devices[i % len(devices)]):
+                deflate_part(options, btype, fin, data, start, end, part,
+                             engine_factory, greedy_fn)
+        else:
+            deflate_part(options, btype, fin, data, start, end, part,
+                         engine_factory, greedy_fn)
         return part
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        parts = list(ex.map(work, masters))
+        parts = list(ex.map(work, enumerate(masters)))
     for part in parts:
         out.extend(part)
