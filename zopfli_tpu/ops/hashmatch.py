@@ -164,22 +164,26 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # Hierarchical (approximate-suffix) order via LSD radix: stable
     # single-key sorts from the longest prefix hash down to the exact
     # 3-byte key (a single 26-key comparator sort takes XLA forever to
-    # compile; 26 small sorts compile and run fast).
+    # compile; 26 small sorts compile and run fast — and packing two
+    # truncated levels per round measurably hurts neighbor quality).
     sidx = jnp.arange(n, dtype=jnp.int32)
     for lvl in reversed(LEVELS):
         k = h[lvl][sidx]
         _, sidx = jax.lax.sort((k, sidx), num_keys=1, is_stable=True)
-    skeys = [h[lvl][sidx] for lvl in LEVELS]
+    hstack = jnp.stack([h[lvl] for lvl in LEVELS])   # (nl, n)
+    skeys = hstack[:, sidx]                          # one batched gather
 
-    # Adjacent-pair shared-prefix level index (0 = not even 3 bytes).
+    # Adjacent-pair shared-prefix LENGTH (0 = not even 3 bytes); storing
+    # lengths directly (min of lengths == min of levels, monotone)
+    # removes a 26-way level->length expansion downstream.
     all_eq = jnp.ones(n, bool)
-    adj_lvl = jnp.zeros(n, jnp.int8)
+    adj_lvl = jnp.zeros(n, jnp.int16)
     for li in range(nl):
         sk = skeys[li]
         eq = jnp.concatenate(
             [jnp.zeros(1, bool), sk[1:] == sk[:-1]])
         all_eq = all_eq & eq
-        adj_lvl = jnp.where(all_eq, np.int8(li + 1), adj_lvl)
+        adj_lvl = jnp.where(all_eq, np.int16(LEVELS[li]), adj_lvl)
 
     # Neighbor candidates: positions j slots away in suffix order, with
     # pairwise level = running min of adjacent levels (transitivity).
@@ -193,7 +197,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
             run_prev = adj_lvl
         else:
             shifted = jnp.concatenate(
-                [jnp.zeros(j - 1, jnp.int8), adj_lvl[:-(j - 1)]])
+                [jnp.zeros(j - 1, jnp.int16), adj_lvl[:-(j - 1)]])
             run_prev = jnp.minimum(run_prev, shifted)
         cprev = jnp.concatenate(
             [jnp.full(j, -1, jnp.int32), sidx[:-j]])
@@ -201,7 +205,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         lvl_list.append(run_prev)
         # next neighbor at sorted slot i+j: chain over adj[i+1..i+j]
         nshift = jnp.concatenate(
-            [adj_lvl[j:], jnp.zeros(j, jnp.int8)])
+            [adj_lvl[j:], jnp.zeros(j, jnp.int16)])
         if run_next is None:
             run_next = nshift
         else:
@@ -212,12 +216,12 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         lvl_list.append(run_next)
 
     cand_sorted = jnp.stack(cand_list, axis=1)       # (n, 2J) positions
-    lvl_sorted = jnp.stack(lvl_list, axis=1)         # (n, 2J) level idx
+    lvl_sorted = jnp.stack(lvl_list, axis=1)         # (n, 2J) lengths
 
     # Back to position order.
     cand_pos = jnp.full((n, 2 * NEIGHBORS), -1, jnp.int32)
     cand_pos = cand_pos.at[sidx].set(cand_sorted)
-    cand_lvl = jnp.zeros((n, 2 * NEIGHBORS), jnp.int8)
+    cand_lvl = jnp.zeros((n, 2 * NEIGHBORS), jnp.int16)
     cand_lvl = cand_lvl.at[sidx].set(lvl_sorted)
 
     # Slice to block rows.
@@ -227,11 +231,8 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     pos = jnp.arange(L, dtype=jnp.int32)[:, None] + instart
     cap = jnp.clip(inend_real - pos, 0, spec.MAX_MATCH)   # (L, 1)
 
-    # Suffix-neighbor candidates: length from quantized level.
-    ln_n = jnp.zeros(cand_lvl.shape, jnp.int32)
-    for li in range(1, nl + 1):
-        ln_n = jnp.where(cand_lvl == np.int8(li),
-                         np.int32(LEVELS[li - 1]), ln_n)
+    # Suffix-neighbor candidates (lengths already ladder-quantized).
+    ln_n = cand_lvl.astype(jnp.int32)
     valid_n = (cand_pos >= 0) & (cand_pos >= min_pos) & (cand_pos < pos)
     dist_n = jnp.where(valid_n, pos - cand_pos, spec.WINDOW_SIZE + 1)
     ln_n = jnp.where(valid_n & (dist_n <= spec.WINDOW_SIZE), ln_n, 0)
@@ -277,11 +278,12 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         # Mask this slot out so the next round refines the runner-up.
         lcp_work = lcp_work.at[rows1, bestk].set(0)
 
-    # Skyline: sort by distance ascending; keep candidates whose length
-    # strictly exceeds every smaller-distance length.
-    order = jnp.argsort(dist, axis=1)
-    dist_s = jnp.take_along_axis(dist, order, axis=1)
-    lcp_s = jnp.take_along_axis(lcp, order, axis=1)
+    # Skyline: sort rows by distance ascending WITH payloads (an argsort
+    # + take_along_axis pair costs ~1.6s/MiB in XLA gathers; a payload
+    # sort is one pass), then keep candidates whose length strictly
+    # exceeds every smaller-distance length.
+    dist_s, lcp_s = jax.lax.sort((dist, lcp), num_keys=1, is_stable=True,
+                                 dimension=1)
     run_best = jax.lax.cummax(
         jnp.concatenate([jnp.full((L, 1), spec.MIN_MATCH - 1),
                          lcp_s[:, :-1]], axis=1), axis=1)
@@ -290,22 +292,20 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
 
     best_len = jnp.max(jnp.where(keep, lcp_s, 0), axis=1)
 
-    # Compact kept entries to the front, preserving order.
+    # Condense to MAX_BP slots (first MAX_BP-1 kept plus the final,
+    # longest one) via one more payload sort instead of a scatter: rank
+    # kept entries by their slot, park dropped ones at the end.
     slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
     slot = jnp.where(keep, slot, C)
     nkept = jnp.sum(keep, axis=1)
-
-    # Condense to MAX_BP slots: first MAX_BP-1 plus the final (longest).
     last_slot = nkept - 1
-    is_last = slot == last_slot[:, None]
-    slot_c = jnp.where(
+    is_last = keep & (slot == last_slot[:, None])
+    rank = jnp.where(
         slot < MAX_BP - 1, slot,
         jnp.where(is_last, jnp.minimum(last_slot, MAX_BP - 1)[:, None], C))
-
-    bp_len = jnp.zeros((L, MAX_BP + 1), jnp.int32)
-    bp_dist = jnp.zeros((L, MAX_BP + 1), jnp.int32)
-    rows = jnp.arange(L, dtype=jnp.int32)[:, None]
-    slot_c = jnp.minimum(slot_c, MAX_BP)
-    bp_len = bp_len.at[rows, slot_c].set(jnp.where(keep, lcp_s, 0))
-    bp_dist = bp_dist.at[rows, slot_c].set(jnp.where(keep, dist_s, 0))
+    keep_len = jnp.where(keep, lcp_s, 0)
+    keep_dist = jnp.where(keep, dist_s, 0)
+    _, bp_len, bp_dist = jax.lax.sort(
+        (rank, keep_len, keep_dist), num_keys=1, is_stable=True,
+        dimension=1)
     return bp_len[:, :MAX_BP], bp_dist[:, :MAX_BP], best_len
