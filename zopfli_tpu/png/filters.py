@@ -50,7 +50,7 @@ def unfilter(raw: np.ndarray, height: int, stride: int,
         elif f == 1:  # Sub: serial in x with lag bpp -> per-phase cumsum
             rec = line
             for x in range(bpp_bytes, stride):
-                rec[x] = (rec[x] + rec[x - bpp_bytes]) & 0xFF
+                rec[x] = (int(rec[x]) + int(rec[x - bpp_bytes])) & 0xFF
         elif f == 2:  # Up
             rec = (line + prev) & 0xFF
         elif f == 3:  # Average
