@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     more = False
     quick = False
     iterations = None
+    always_zopflify = False
+    verbose = False
 
     for arg in argv:
         if arg == "-m":
@@ -65,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
             opts.lossy_transparent = True
         elif arg == "--lossy_8bit":
             opts.lossy_8bit = True
+        elif arg == "--keepcolortype":
+            opts.keep_colortype = True
+        elif arg == "--always_zopflify":
+            always_zopflify = True
+        elif arg == "--verbose":
+            verbose = True
         elif arg.startswith("--filters="):
             names = []
             for chs in arg[len("--filters="):]:
@@ -110,12 +118,12 @@ def main(argv: list[str] | None = None) -> int:
     for infile, outfile in pairs:
         orig = open(infile, "rb").read()
         try:
-            out = optimize(orig, opts, verbose=False)
+            out = optimize(orig, opts, verbose=verbose)
         except Exception as e:
             print(f"{infile}: optimization failed ({e}); keeping original",
                   file=sys.stderr)
             out = orig
-        if len(out) >= len(orig):
+        if len(out) >= len(orig) and not always_zopflify:
             out = orig  # keep original if not smaller (zopflipng_bin.cc:404)
         total_in += len(orig)
         total_out += len(out)

@@ -157,6 +157,7 @@ def decode(png: bytes):
     if interlace == 0:
         stride = _stride(w, ct, bd)
         rec = filtlib.unfilter(raw, h, stride, bpp)
+        info.raw_scanlines = rec  # pre-conversion bytes (keepcolortype)
         samples = _scanlines_to_pixels(rec, info, w, h)
     else:  # Adam7
         if bd < 8:

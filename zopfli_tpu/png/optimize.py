@@ -28,6 +28,7 @@ class PNGOptions:
     """Reference ZopfliPNGOptions (zopflipng_lib.h:92-133)."""
     lossy_transparent: bool = False
     lossy_8bit: bool = False
+    keep_colortype: bool = False
     filter_strategies: list = field(default_factory=list)  # [] = auto
     auto_filter_strategy: bool = True
     keepchunks: list = field(default_factory=list)
@@ -193,7 +194,16 @@ def optimize(origpng: bytes, png_options: PNGOptions | None = None,
         lo = raw16 & 0xFF
         hi = raw16 >> 8
         use16 = not bool((lo == hi).all())
-    if use16:
+    raw_scan = getattr(info, "raw_scanlines", None)
+    if (opts.keep_colortype and raw_scan is not None
+            and not opts.lossy_transparent and not use16):
+        # --keepcolortype: re-encode with the original header fields and
+        # untouched raw scanlines (zopflipng_bin.cc:249-250 semantics).
+        spec = EncodeSpec(np.ascontiguousarray(raw_scan), w, h,
+                          info.bitdepth, info.colortype, info.palette,
+                          info.trns)
+        pal_index = None
+    elif use16:
         ct, bd = info.colortype, 16
         samples = raw16
         stride = codec._stride(w, ct, 16)
