@@ -163,3 +163,17 @@ def test_interlaced_decode_and_optimize(rng):
     assert np.array_equal(rgba, _pil_rgba(png))  # PIL cross-check
     out = optimize(png, QUICK)   # re-encoded non-interlaced
     assert np.array_equal(_pil_rgba(out), _pil_rgba(png))
+
+
+def test_keepcolortype():
+    arr = np.zeros((24, 24, 3), np.uint8)
+    arr[::2] = [200, 30, 30]
+    png = _png_from_array(arr, "RGB")
+    auto = optimize(png, QUICK)
+    keep = optimize(png, PNGOptions(num_iterations=2, num_iterations_large=2,
+                                    keep_colortype=True))
+    ih_auto = next(c for c in chunks.parse(auto) if c.type == "IHDR")
+    ih_keep = next(c for c in chunks.parse(keep) if c.type == "IHDR")
+    assert ih_auto.data[9] == 3   # auto palettizes this image
+    assert ih_keep.data[9] == 2   # keepcolortype stays RGB
+    assert np.array_equal(_pil_rgba(keep), _pil_rgba(png))
