@@ -139,7 +139,7 @@ def _make_run_group(scan, traceback, nbyte_values: int):
         # Literal cost: select chain over the distinct byte values when
         # the alphabet is small (beats XLA's per-lane gather ~15x); wide
         # alphabets (e.g. random data) fall back to the gather.
-        if nbyte_values <= 64:
+        if nbyte_values <= 128:
             litcost_t = jnp.zeros(lit_t.shape, jnp.float32)
             for k in range(nbyte_values):
                 v = byte_values[k]
@@ -248,9 +248,10 @@ class MasterBatch:
         nv = 32
         while nv < len(values):
             nv *= 2
-        # > 64 distinct bytes switches run_group to the gather path,
+        # > 128 distinct bytes switches run_group to the gather path,
         # where the values are unused: one shared bucket.
-        nv = min(nv, 128)
+        if nv > 128:
+            nv = 256
         values = values[:nv]
         self._byte_values = jnp.asarray(np.concatenate(
             [values, np.full(nv - len(values), values[0], np.uint8)]
