@@ -155,7 +155,11 @@ def _make_run_group(scan, traceback, nbyte_values: int):
         hist, plp, pdp = traceback(cl[1:], cd[1:], lit_t,
                                    tile_nbytes[None, :],
                                    jnp.asarray(symtab))
-        hist_b = hist @ blk_oh                # (HBINS, NB)
+        # HIGHEST precision: the default TPU matmul truncates inputs to
+        # bfloat16, silently rounding per-lane symbol counts above 256
+        # and corrupting the exact keep-best cost downstream.
+        hist_b = jnp.matmul(hist, blk_oh,
+                            precision=jax.lax.Precision.HIGHEST)  # (HBINS, NB)
         return hist_b, plp, pdp, best_pl, best_pd
     return run_group
 

@@ -85,6 +85,10 @@ def _to_rgba8(samples: np.ndarray, info: PNGInfo) -> np.ndarray:
     """Any color type/bit depth -> (h, w, 4) uint8 RGBA."""
     ct, bd = info.colortype, info.bitdepth
     h, w, _ = samples.shape
+    # Keep the full-depth samples for tRNS color-key comparison: 16-bit
+    # keys must match at 16-bit precision (an 8-bit comparison would mark
+    # extra pixels transparent; lodepng compares at full depth).
+    samples_full = samples
     if bd == 16:
         samples = (samples >> 8).astype(np.uint8)
     rgba = np.empty((h, w, 4), dtype=np.uint8)
@@ -95,8 +99,11 @@ def _to_rgba8(samples: np.ndarray, info: PNGInfo) -> np.ndarray:
         rgba[:, :, 3] = 255
         if info.trns and len(info.trns) >= 2:
             key = int.from_bytes(info.trns[0:2], "big")
-            key8 = (key * scale) & 0xFF if bd < 16 else (key >> 8)
-            rgba[:, :, 3] = np.where(g == key8, 0, 255)
+            if bd == 16:
+                key_mask = samples_full[:, :, 0] == key
+            else:
+                key_mask = g == ((key * scale) & 0xFF)
+            rgba[:, :, 3] = np.where(key_mask, 0, 255)
     elif ct == 2:
         rgba[:, :, :3] = samples
         rgba[:, :, 3] = 255
@@ -104,10 +111,9 @@ def _to_rgba8(samples: np.ndarray, info: PNGInfo) -> np.ndarray:
             kr = int.from_bytes(info.trns[0:2], "big")
             kg = int.from_bytes(info.trns[2:4], "big")
             kb = int.from_bytes(info.trns[4:6], "big")
-            if bd == 16:
-                kr, kg, kb = kr >> 8, kg >> 8, kb >> 8
-            key_mask = ((samples[:, :, 0] == kr) & (samples[:, :, 1] == kg)
-                        & (samples[:, :, 2] == kb))
+            key_mask = ((samples_full[:, :, 0] == kr)
+                        & (samples_full[:, :, 1] == kg)
+                        & (samples_full[:, :, 2] == kb))
             rgba[:, :, 3] = np.where(key_mask, 0, 255)
     elif ct == 3:
         pal = info.palette
@@ -159,11 +165,9 @@ def decode(png: bytes):
         rec = filtlib.unfilter(raw, h, stride, bpp)
         info.raw_scanlines = rec  # pre-conversion bytes (keepcolortype)
         samples = _scanlines_to_pixels(rec, info, w, h)
-    else:  # Adam7
-        if bd < 8:
-            raise NotImplementedError("interlaced sub-byte depth")
+    else:  # Adam7 (incl. sub-byte depths: per-pass bit unpacking,
+        # lodepng.cpp:4101-4305 semantics)
         ch = CHANNELS[ct]
-        unit = bd // 8
         samples = np.zeros((h, w, ch),
                            dtype=np.uint16 if bd == 16 else np.uint8)
         pos = 0
@@ -172,7 +176,7 @@ def decode(png: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            stride = pw * ch * unit
+            stride = _stride(pw, ct, bd)
             nbytes = ph * (1 + stride)
             rec = filtlib.unfilter(raw[pos:pos + nbytes], ph, stride, bpp)
             pos += nbytes

@@ -216,7 +216,11 @@ def optimize(origpng: bytes, png_options: PNGOptions | None = None,
         else:
             sel = raw16
         spec_img = sel.astype(">u2").reshape(h, -1).view(np.uint8)
-        spec = EncodeSpec(np.ascontiguousarray(spec_img), w, h, 16, ct)
+        # tRNS is a 16-bit color key for color types 0/2 and must ride
+        # along or transparency is lost (the reference lodepng keeps it).
+        trns16 = info.trns if ct in (0, 2) else None
+        spec = EncodeSpec(np.ascontiguousarray(spec_img), w, h, 16, ct,
+                          trns=trns16)
         pal_index = None
     else:
         ct, bd, palette, trns, pal_index = choose_color_encoding(rgba)
@@ -227,9 +231,10 @@ def optimize(origpng: bytes, png_options: PNGOptions | None = None,
     cand = filtlib.filter_all_types(
         spec.scanlines, codec._bpp_bytes(spec.colortype, spec.bitdepth))
 
-    # Iteration budget by IDAT size (zopflipng_lib.cc:57-58).
+    # Iteration budget by IDAT size (zopflipng_lib.cc:57-58; the
+    # reference threshold is decimal 200000, not 200 KiB).
     raw_size = spec.scanlines.size + h
-    iters = (opts.num_iterations if raw_size < 200 * 1024
+    iters = (opts.num_iterations if raw_size < 200000
              else opts.num_iterations_large)
     full_opts = Options(numiterations=iters, engine=opts.engine)
 
