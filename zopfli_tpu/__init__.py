@@ -16,8 +16,24 @@ import os
 
 # Persistent XLA compile cache: the Pallas DP kernel costs minutes to
 # compile cold but milliseconds to load back.  Set before jax import.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/zopfli_tpu_xla"))
+# The dir is keyed by host CPU features: XLA:CPU AOT cache entries are
+# NOT machine-feature-checked on load, and replaying entries compiled
+# on a different host makes later compiles hang for minutes.
+def _cache_dir() -> str:
+    import hashlib
+    key = "nocpuinfo"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    key = hashlib.sha256(line.encode()).hexdigest()[:10]
+                    break
+    except OSError:
+        pass
+    return os.path.expanduser(f"~/.cache/zopfli_tpu_xla_{key}")
+
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np

@@ -190,6 +190,17 @@ def add_lz77_block_auto_type(options: Options, final: bool, store: LZ77Store,
         add_lz77_block(options, 2, final, store, lstart, lend, out)
 
 
+def split_master(options: Options, data: np.ndarray, instart: int,
+                 inend: int, greedy_fn) -> list[int]:
+    """Host block-split of one master -> bounds incl. endpoints."""
+    if options.blocksplitting:
+        pts = blocks.block_split(data, instart, inend,
+                                 options.blocksplittingmax, greedy_fn)
+    else:
+        pts = []
+    return [instart] + pts + [inend]
+
+
 def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
                  instart: int, inend: int, out: BitStream,
                  engine_factory=None, greedy_fn=None) -> None:
@@ -209,14 +220,23 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
             engine.close()
         return
 
-    if options.blocksplitting:
-        splitpoints_uncompressed = blocks.block_split(
-            data, instart, inend, options.blocksplittingmax, greedy_fn)
-    else:
-        splitpoints_uncompressed = []
-
-    bounds = [instart] + splitpoints_uncompressed + [inend]
+    bounds = split_master(options, data, instart, inend, greedy_fn)
     if options.engine == "tpu":
+        from .squeeze_batched import lz77_optimal_fused
+        trace = None
+        if tracer is not None:
+            hooks = [tracer.block_iteration_hook(bounds[i], bounds[i + 1])
+                     for i in range(len(bounds) - 1)]
+            trace = lambda b, i, cost: hooks[b](i, cost)
+        if inend > instart:
+            stores = lz77_optimal_fused(
+                data, [(instart, inend, bounds)], options.numiterations,
+                greedy_fn, trace=trace)[0]
+        else:
+            from .lz77 import LZ77Store as _S
+            stores = [_S(data, np.zeros(0, np.uint16),
+                         np.zeros(0, np.uint16), instart)]
+    elif options.engine == "tpu-periter":
         from .squeeze_batched import lz77_optimal_batched
         trace = None
         if tracer is not None:
@@ -241,6 +261,13 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
                 engine.close()
             stores.append(st)
 
+    finish_part(options, final, stores, out, engine_factory)
+
+
+def finish_part(options: Options, final: bool, stores: list,
+                out: BitStream, engine_factory) -> None:
+    """Second split attempt + emission for one master's parsed blocks."""
+    tracer = options.tracer
     totalcost = 0.0
     splitpoints = []
     acc = 0
@@ -294,6 +321,13 @@ def deflate(options: Options, btype: int, final: bool, data: np.ndarray,
         if i >= insize:
             break
 
+    if options.engine == "tpu" and btype == 2 and len(masters) > 1:
+        _deflate_fused_masters(options, data, masters, out,
+                               engine_factory or
+                               default_engine_factory(options),
+                               greedy_fn or default_greedy(options))
+        return
+
     workers = options.workers
     if workers == 0:
         import os as _os
@@ -333,3 +367,29 @@ def deflate(options: Options, btype: int, final: bool, data: np.ndarray,
         parts = list(ex.map(work, enumerate(masters)))
     for part in parts:
         out.extend(part)
+
+
+def _deflate_fused_masters(options: Options, data: np.ndarray, masters,
+                           out: BitStream, engine_factory,
+                           greedy_fn) -> None:
+    """Batched TPU path: all masters' tiles share the fused device loop.
+
+    Masters are grouped into device batches (ZT_BATCH_MASTERS, default
+    8) to bound HBM use; host splitting of batch N+1 runs while host
+    emission of batch N is pending only in the trivial sense for now —
+    the device sees one dispatch per batch.
+    """
+    import os as _os
+
+    from .squeeze_batched import lz77_optimal_fused
+
+    batch_n = max(1, int(_os.environ.get("ZT_BATCH_MASTERS", "8")))
+    for i in range(0, len(masters), batch_n):
+        chunk = masters[i:i + batch_n]
+        specs = [(start, end,
+                  split_master(options, data, start, end, greedy_fn))
+                 for (start, end, _fin) in chunk]
+        all_stores = lz77_optimal_fused(data, specs, options.numiterations,
+                                        greedy_fn)
+        for (start, end, fin), stores in zip(chunk, all_stores):
+            finish_part(options, fin, stores, out, engine_factory)

@@ -92,13 +92,17 @@ def package_merge(freqs: jnp.ndarray, maxbits: int) -> jnp.ndarray:
 
     # Top-down take counts; levels >= eff_max are skipped so the chain
     # starts at the effective depth limit (katajainen.c:216 clamp).
+    # The per-level "prefix count at take" lookup is a select-sum, not a
+    # gather: XLA:CPU compile time explodes on the 15 chained dynamic
+    # gathers (B>=3), and select-sums are faster on TPU anyway.
     take = 2 * m - 2                                      # (B,)
     counts = jnp.zeros((B, n), jnp.int32)
     for level in range(maxbits - 1, -1, -1):
         active = jnp.int32(level) < eff_max               # (B,)
         t = jnp.minimum(take, size_levels[level])
-        leaves_taken = jnp.take_along_axis(
-            pfx_levels[level], t[:, None], axis=1)[:, 0]  # (B,)
+        leaves_taken = jnp.sum(
+            jnp.where(iota_2n1[None, :] == t[:, None],
+                      pfx_levels[level], 0), axis=1)      # (B,)
         counts = counts + jnp.where(
             active[:, None] & (iota_n[None, :] < leaves_taken[:, None]),
             1, 0)
@@ -381,15 +385,42 @@ def hist_dynamic_cost(ll_counts: jnp.ndarray, d_counts: jnp.ndarray,
 # Entropy cost model (tree.c:71-94 conventions).
 # ---------------------------------------------------------------------------
 
+_INV_LN2_X2 = float(2.0 / np.log(2.0))
+
+
+def _log2_int(c: jnp.ndarray) -> jnp.ndarray:
+    """Accurate f32 log2 of positive int32 counts.
+
+    TPU's transcendental log2 is only ~1e-4-accurate, which audibly
+    shifts the squeeze cost model (every DP edge uses these values) and
+    cost ~0.2% size vs the host-f64 model.  Decompose c = 2^e * m with
+    exact integer ops (e via clz, m in [1,2) by exact power-of-two
+    divide), then log2(m) = 2*atanh(f/(2+f))/ln2 with an odd series in
+    z = f/(2+f) < 1/3: truncation after z^11 is ~2e-7 bits — same
+    accuracy class as host f32.
+    """
+    c = c.astype(jnp.int32)
+    e = 31 - jax.lax.clz(jnp.maximum(c, 1))
+    m = c.astype(jnp.float32) / (jnp.int32(1) << e).astype(jnp.float32)
+    f = m - 1.0
+    z = f / (2.0 + f)
+    z2 = z * z
+    p = 1.0 / 11.0
+    for q in (9.0, 7.0, 5.0, 3.0):
+        p = 1.0 / q + z2 * p
+    atanh = z * (1.0 + z2 * p)
+    return e.astype(jnp.float32) + atanh * _INV_LN2_X2
+
+
 def calculate_entropy(counts: jnp.ndarray) -> jnp.ndarray:
     """Shannon cost-per-symbol bits, batched (B, n) -> (B, n) f32."""
     n = counts.shape[1]
-    c = counts.astype(jnp.float32)
-    s = jnp.sum(c, axis=1, keepdims=True)
-    log2sum = jnp.where(s > 0, jnp.log2(jnp.maximum(s, 1.0)),
-                        jnp.log2(float(n)))
-    bl = log2sum - jnp.log2(jnp.maximum(c, 1e-37))
-    bl = jnp.where(c == 0, log2sum, bl)
+    ci = counts.astype(jnp.int32)
+    s = jnp.sum(ci, axis=1, keepdims=True)
+    log2sum = jnp.where(s > 0, _log2_int(jnp.maximum(s, 1)),
+                        float(np.log2(n)))
+    bl = log2sum - _log2_int(jnp.maximum(ci, 1))
+    bl = jnp.where(ci == 0, log2sum, bl)
     bl = jnp.where((bl < 0) & (bl > -1e-5), 0.0, bl)
     return bl
 

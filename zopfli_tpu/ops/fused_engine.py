@@ -1,0 +1,496 @@
+"""Fused multi-master TPU squeeze engine.
+
+Round-1's MasterBatch ran one device dispatch per squeeze iteration per
+master, with the iteration control (exact keep-best cost, stats
+feedback, randomization — reference squeeze.c:446-526) on the host:
+15 host round trips per master, and a tail master paid the full
+lockstep kernel cost for a near-empty lane group.
+
+This engine removes both costs:
+
+  - Tiles from ALL masters of an input share the same fixed-size lane
+    groups (a 48 KB tail master adds 6 lanes to the 1 MB master's 123
+    instead of its own half-empty dispatch chain).
+  - The ENTIRE iteration loop runs inside one jitted lax.fori_loop:
+    per iteration, cost expansion -> Pallas DP scan -> Pallas traceback
+    -> per-block histograms -> exact dynamic-block cost
+    (ops.costmodel, integer-identical to the native engine) ->
+    keep-best update -> stats feedback/blending/randomization, all on
+    device.  The host sees ONE dispatch per master batch and pulls the
+    chosen parses once, compacted (paths are sparse; positions are
+    reconstructible from the symbol sequence, so each row packs into
+    one int32).
+
+Shape discipline (axon compiles cost minutes and are not persistently
+cached): candidate tables are bucketed to power-of-two caps, the block
+axis is padded to power-of-two NB, byte-value counts to the existing
+buckets, so a handful of compiled variants serve any input.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import spec
+from . import costmodel, hashmatch, scan_kernel
+
+KBP = hashmatch.MAX_BP
+TILE = int(os.environ.get("ZT_TILE", "8192"))
+LANES = int(os.environ.get("ZT_LANES", "256"))
+MAX_EVENTS = 18          # randomization events cap (>= numiterations-6)
+LARGE_COST = np.int32(1 << 30)
+
+_LSYM = np.asarray(spec.LENGTH_SYMBOL[3:259], dtype=np.int32)
+_LEXTRA = np.asarray(spec.LENGTH_EXTRA_BITS[3:259], dtype=np.float32)
+_DSYM_EXTRA = np.zeros(spec.NUM_D, dtype=np.float32)
+_DSYM_EXTRA[:30] = spec.DIST_SYM_EXTRA_BITS
+
+
+class FetchOverflow(Exception):
+    """A lane's path exceeded the compact fetch cap (dense parse)."""
+
+
+def _dist_symbol_jax(dist: jnp.ndarray) -> jnp.ndarray:
+    d1 = jnp.maximum(dist - 1, 1)
+    lg = 31 - jax.lax.clz(d1)
+    r = (d1 >> jnp.maximum(lg - 1, 0)) & 1
+    return jnp.where(dist < 5, dist - 1, 2 * lg + r).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_prepare_group(cap_total: int):
+    @jax.jit
+    def prepare(bp_len, bp_dist, data_block, tile_start, tile_nbytes):
+        """Slice combined candidate tables into one lane group's layout."""
+        pos_in_tile = jnp.arange(TILE, dtype=jnp.int32)
+        rows = tile_start[:, None] + pos_in_tile[None, :]   # (LANES, TILE)
+        rows_c = jnp.clip(rows, 0, cap_total - 1)
+        bl = bp_len[rows_c]
+        bd = bp_dist[rows_c]
+        lit = data_block[rows_c]
+        maxlen = tile_nbytes[:, None] - pos_in_tile[None, :]
+        bl = jnp.minimum(bl, maxlen[:, :, None])
+        bl = jnp.where(bl >= spec.MIN_MATCH, bl, 0)
+        valid = pos_in_tile[None, :] < tile_nbytes[:, None]
+        bl = jnp.where(valid[:, :, None], bl, 0)
+        dsym = _dist_symbol_jax(jnp.maximum(bd, 1)).astype(jnp.int8)
+        return (jnp.transpose(bl, (1, 2, 0)), jnp.transpose(bd, (1, 2, 0)),
+                jnp.transpose(dsym, (1, 2, 0)), jnp.transpose(lit, (1, 0)),
+                jnp.transpose(valid, (1, 0)))
+    return prepare
+
+
+def _filler(n: int) -> np.ndarray:
+    return (np.arange(n, dtype=np.uint32) * 2654435761 >> 13).astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
+                  nbyte_values: int, fetch_cap: int,
+                  interpret: bool = False):
+    """The single-dispatch squeeze: all iterations, all groups.
+
+    Group tensors arrive stacked on a leading axis.  Returns the final
+    best parses (compacted per lane), exact best costs, and the best
+    stats (the host fallback uses them on hash-collision verify
+    failure).
+
+    On TPU the whole iteration loop is ONE jitted lax.fori_loop.  In
+    interpret mode (CPU tests) the same jitted body runs under a host
+    Python loop instead: XLA:CPU takes >8 min to compile the cost
+    stack (sorts in package_merge) inside a while body, while the body
+    alone compiles in seconds.  Identical math either way.
+    """
+    symtab = np.asarray(scan_kernel.symbol_range_table(), dtype=np.int32)
+    HB = scan_kernel.HBINS
+    G = ngroups
+    W = scan_kernel.W
+
+    def make_body(bl_t, bd_t, dsym_t, lit_t, valid_t,
+                  tile_block, tile_nbytes, blk_oh,
+                  byte_values, ll_maps, d_maps):
+        # Row-major group-flattened layouts: bl_t/bd_t/dsym_t
+        # (G*TILE, KBP, LANES), lit_t/valid_t (G*TILE, LANES);
+        # tile_block/tile_nbytes (G, LANES); blk_oh (G, LANES, nb_pad);
+        # seed_ll: (nb_pad, 288) i32.
+        dsym_g = dsym_t.reshape(G, TILE, KBP, LANES)
+        lit_g = lit_t.reshape(G, TILE, LANES)
+
+        def one_iteration(stats_ll, stats_d):
+            """DP run under the entropy model of the given stats."""
+            ll_cost_b = costmodel.calculate_entropy(stats_ll)   # (NB, 288)
+            d_cost_b = costmodel.calculate_entropy(stats_d)
+            ll_t = ll_cost_b[tile_block]           # (G, LANES, 288)
+            d_t = d_cost_b[tile_block]             # (G, LANES, 32)
+            lcost_vec = jnp.transpose(ll_t[:, :, _LSYM]
+                                      + _LEXTRA[None, None, :],
+                                      (0, 2, 1)).reshape(G * W, LANES)
+            dplus = d_t + _DSYM_EXTRA[None, None, :]   # (G, LANES, 30)
+            bp_dcost = jnp.zeros(dsym_g.shape, jnp.float32)
+            for s in range(30):
+                bp_dcost = jnp.where(dsym_g == np.int8(s),
+                                     dplus[:, None, None, :, s], bp_dcost)
+            if nbyte_values <= 128:
+                litcost = jnp.zeros(lit_g.shape, jnp.float32)
+                for k in range(nbyte_values):
+                    v = byte_values[k]
+                    litcost = jnp.where(lit_g == v,
+                                        ll_t[:, None, :, v], litcost)
+            else:
+                litcost = jnp.transpose(jnp.take_along_axis(
+                    ll_t, jnp.transpose(lit_g, (0, 2, 1)), axis=2),
+                    (0, 2, 1))
+            litcost = jnp.where(valid_t.reshape(G, TILE, LANES), litcost,
+                                scan_kernel.BIG)
+
+            cl, cd, _ = scan(bl_t, bd_t,
+                             bp_dcost.reshape(G * TILE, KBP, LANES),
+                             litcost.reshape(G * TILE, LANES), lcost_vec)
+            if G == 1:
+                cl, cd = cl[1:], cd[1:]   # groups=1 keeps the legacy row
+            hist_g, plp, pdp = traceback(cl, cd, lit_t, tile_nbytes,
+                                         jnp.asarray(symtab))
+            hist = jnp.einsum(
+                "ghl,glb->hb", hist_g.reshape(G, HB, LANES), blk_oh,
+                precision=jax.lax.Precision.HIGHEST)
+            ll_hist = jnp.transpose(hist[:spec.NUM_LL]).astype(jnp.int32)
+            d_hist = jnp.transpose(hist[spec.NUM_LL:]).astype(jnp.int32)
+            return (ll_hist, d_hist, plp.reshape(G, TILE, LANES),
+                    pdp.reshape(G, TILE, LANES))
+
+        def body(i, state):
+            (stats_ll, stats_d, best_cost, best_sll, best_sd,
+             last_cost, last_rand, ec, best_pl, best_pd) = state
+
+            ll_hist, d_hist, plp, pdp = one_iteration(stats_ll, stats_d)
+
+            # Exact dynamic-block bits incl. 3-bit header (squeeze.c:492).
+            cost = 3 + costmodel.hist_dynamic_cost(ll_hist, d_hist)
+            improved = cost < best_cost
+            best_cost = jnp.where(improved, cost, best_cost)
+            best_sll = jnp.where(improved[:, None], stats_ll, best_sll)
+            best_sd = jnp.where(improved[:, None], stats_d, best_sd)
+            lane_imp = improved[tile_block]            # (G, LANES)
+            m = lane_imp[:, None, :]
+            best_pl = jnp.where(m, plp, best_pl)
+            best_pd = jnp.where(m, pdp, best_pd)
+
+            # Stats feedback (squeeze.c:503-517).  Counts are integers;
+            # trunc(new + 0.5*last) == new + last // 2 exactly.
+            new_ll = ll_hist.at[:, 256].set(1)
+            blended_ll = (new_ll + stats_ll // 2).at[:, 256].set(1)
+            blended_d = d_hist + stats_d // 2
+            blend = (last_rand != -1)[:, None]
+            next_ll = jnp.where(blend, blended_ll, new_ll)
+            next_d = jnp.where(blend, blended_d, d_hist)
+
+            stuck = (i > 5) & (cost == last_cost)
+            ecc = jnp.minimum(ec, MAX_EVENTS - 1)
+            rnd_ll = jnp.take_along_axis(
+                best_sll, ll_maps[ecc], axis=1).at[:, 256].set(1)
+            rnd_d = jnp.take_along_axis(best_sd, d_maps[ecc], axis=1)
+            next_ll = jnp.where(stuck[:, None], rnd_ll, next_ll)
+            next_d = jnp.where(stuck[:, None], rnd_d, next_d)
+            ec = ec + stuck.astype(jnp.int32)
+            last_rand = jnp.where(stuck, i, last_rand)
+
+            return (next_ll, next_d, best_cost, best_sll, best_sd,
+                    cost, last_rand, ec, best_pl, best_pd)
+
+        return body
+
+    def init_state(seed_ll, seed_d):
+        zeros_gp = jnp.zeros((ngroups, TILE, LANES), jnp.int32)
+        return (seed_ll, seed_d,
+                jnp.full((nb_pad,), LARGE_COST, jnp.int32),
+                jnp.zeros((nb_pad, spec.NUM_LL), jnp.int32),
+                jnp.zeros((nb_pad, spec.NUM_D), jnp.int32),
+                jnp.zeros((nb_pad,), jnp.int32),
+                jnp.full((nb_pad,), -1, jnp.int32),
+                jnp.zeros((nb_pad,), jnp.int32),
+                zeros_gp, zeros_gp)
+
+    def finish(state):
+        (_, _, best_cost, best_sll, best_sd,
+         _, _, _, best_pl, best_pd) = state
+
+        # Compact each lane's sparse path rows to the front (stable sort
+        # by emptiness keeps rows position-ordered); positions are
+        # implied by the symbol sequence, so one int32 carries
+        # len (9 bits) | dist << 9 (dist <= 32768 < 2^16).
+        empty = (best_pl == 0).astype(jnp.int32)        # (G, TILE, LANES)
+        _, pl_c, pd_c = jax.lax.sort(
+            (empty, best_pl, best_pd), num_keys=1, is_stable=True,
+            dimension=1)
+        nsym = jnp.sum(1 - empty, axis=1)               # (G, LANES)
+        packed = (pl_c[:, :fetch_cap, :]
+                  | (pd_c[:, :fetch_cap, :] << 9)).astype(jnp.int32)
+        return best_cost, best_sll, best_sd, nsym, packed
+
+    if not interpret:
+        @jax.jit
+        def run_all(bl_t, bd_t, dsym_t, lit_t, valid_t,
+                    tile_block, tile_nbytes, blk_oh,
+                    seed_ll, seed_d, byte_values, ll_maps, d_maps, n_iter):
+            body = make_body(bl_t, bd_t, dsym_t, lit_t, valid_t,
+                             tile_block, tile_nbytes, blk_oh,
+                             byte_values, ll_maps, d_maps)
+            state = jax.lax.fori_loop(0, n_iter, body,
+                                      init_state(seed_ll, seed_d))
+            return finish(state)
+
+        return run_all
+
+    @jax.jit
+    def step(i, state, bl_t, bd_t, dsym_t, lit_t, valid_t,
+             tile_block, tile_nbytes, blk_oh, byte_values,
+             ll_maps, d_maps):
+        body = make_body(bl_t, bd_t, dsym_t, lit_t, valid_t,
+                         tile_block, tile_nbytes, blk_oh,
+                         byte_values, ll_maps, d_maps)
+        return body(i, state)
+
+    finish_j = jax.jit(finish)
+
+    def run_all(bl_t, bd_t, dsym_t, lit_t, valid_t,
+                tile_block, tile_nbytes, blk_oh,
+                seed_ll, seed_d, byte_values, ll_maps, d_maps, n_iter):
+        tens = (bl_t, bd_t, dsym_t, lit_t, valid_t,
+                tile_block, tile_nbytes, blk_oh, byte_values,
+                ll_maps, d_maps)
+        state = init_state(seed_ll, seed_d)
+        for i in range(int(n_iter)):
+            state = step(jnp.int32(i), state, *tens)
+        return finish_j(state)
+
+    return run_all
+
+
+class FusedSqueeze:
+    """Device context for a batch of masters' fused squeeze.
+
+    masters: list of (instart, inend, block_bounds) with block_bounds =
+    [instart, b1, ..., inend] from the host splitter.  Block and tile
+    bookkeeping is global across masters; candidate tables are built
+    per master (window halo semantics per SURVEY §5) and concatenated.
+    """
+
+    def __init__(self, data: np.ndarray, masters,
+                 interpret: bool | None = None):
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self.data = data
+        self.masters = [(int(s), int(e), [int(b) for b in bb])
+                        for (s, e, bb) in masters]
+        for s, e, bb in self.masters:
+            assert bb[0] == s and bb[-1] == e and e > s
+
+        # --- global blocks & tiles ---
+        self.block_bounds = []     # global list of (start, end)
+        tile_start, tile_nbytes, tile_block, tile_abs = [], [], [], []
+        caps = []
+        row = 0                    # row offset in the combined tables
+        for (instart, inend, bb) in self.masters:
+            L = inend - instart
+            cap = 16384
+            while cap < L:
+                cap *= 2
+            caps.append(cap)
+            for b in range(len(bb) - 1):
+                gb = len(self.block_bounds)
+                self.block_bounds.append((bb[b], bb[b + 1]))
+                s, e = bb[b] - instart, bb[b + 1] - instart
+                p = s
+                while p < e:
+                    n = min(TILE, e - p)
+                    tile_start.append(row + p)
+                    tile_nbytes.append(n)
+                    tile_block.append(gb)
+                    tile_abs.append(instart + p)
+                    p += n
+            row += cap
+        self.nb = len(self.block_bounds)
+        self.nb_pad = 4
+        while self.nb_pad < self.nb:
+            self.nb_pad *= 2
+        self.nt = len(tile_start)
+        self.ngroups = max(1, -(-self.nt // LANES))
+        pad = self.ngroups * LANES - self.nt
+        self.tile_start = np.array(tile_start + [0] * pad, np.int32)
+        self.tile_nbytes = np.array(tile_nbytes + [0] * pad, np.int32)
+        self.tile_block = np.array(tile_block + [0] * pad, np.int32)
+        self.tile_abs = np.array(tile_abs + [0] * pad, np.int64)
+
+        # --- combined candidate tables (bucketed total cap) ---
+        cap_total = 16384
+        while cap_total < row:
+            cap_total *= 2
+        self.cap_total = cap_total
+
+        bp_len_parts, bp_dist_parts, data_parts = [], [], []
+        for (instart, inend, _), cap in zip(self.masters, caps):
+            L = inend - instart
+            prefix_len = min(instart, spec.WINDOW_SIZE)
+            total = hashmatch.PREFIX + cap + 264
+            buf = np.empty(total, dtype=np.uint8)
+            buf[:hashmatch.PREFIX] = _filler(hashmatch.PREFIX)
+            if prefix_len:
+                buf[hashmatch.PREFIX - prefix_len:hashmatch.PREFIX] = \
+                    data[instart - prefix_len:instart]
+            buf[hashmatch.PREFIX:hashmatch.PREFIX + L] = data[instart:inend]
+            buf[hashmatch.PREFIX + L:] = 0
+            bl, bd, _ = hashmatch.build_candidates(
+                jnp.asarray(buf), cap,
+                jnp.int32(hashmatch.PREFIX - prefix_len),
+                jnp.int32(hashmatch.PREFIX + L))
+            bp_len_parts.append(bl)
+            bp_dist_parts.append(bd)
+            dblock = np.zeros(cap, dtype=np.int32)
+            dblock[:L] = data[instart:inend]
+            data_parts.append(dblock)
+
+        pad_rows = cap_total - row
+        if pad_rows:
+            bp_len_parts.append(jnp.zeros((pad_rows, KBP), jnp.int32))
+            bp_dist_parts.append(jnp.zeros((pad_rows, KBP), jnp.int32))
+            data_parts.append(np.zeros(pad_rows, np.int32))
+        bp_len = jnp.concatenate(bp_len_parts, axis=0)
+        bp_dist = jnp.concatenate(bp_dist_parts, axis=0)
+        data_block_d = jnp.asarray(np.concatenate(data_parts))
+
+        # --- byte-value select chain (union across masters) ---
+        values = np.unique(np.concatenate(
+            [data[s:e] for (s, e, _) in self.masters]))
+        nv = 32
+        while nv < len(values):
+            nv *= 2
+        if nv > 128:
+            nv = 256
+        if interpret:
+            # One compiled shape for CPU test runs: always gather.
+            nv = 256
+        values = values[:nv]
+        self._byte_values = jnp.asarray(np.concatenate(
+            [values, np.full(max(nv - len(values), 0), values[0], np.uint8)]
+        ).astype(np.int32))
+        self._nv = nv
+
+        # --- prepared group tensors, stacked over groups ---
+        prepare = _make_prepare_group(cap_total)
+        preps = []
+        blk_oh = np.zeros((self.ngroups, LANES, self.nb_pad), np.float32)
+        for g in range(self.ngroups):
+            sl = slice(g * LANES, (g + 1) * LANES)
+            preps.append(prepare(bp_len, bp_dist, data_block_d,
+                                 jnp.asarray(self.tile_start[sl]),
+                                 jnp.asarray(self.tile_nbytes[sl])))
+            used = self.tile_nbytes[sl] > 0
+            blk_oh[g, np.arange(LANES)[used], self.tile_block[sl][used]] = 1.0
+        # Flatten the group axis into rows (grouped-kernel layout).
+        self._prep = tuple(
+            jnp.concatenate([p[i] for p in preps], axis=0)
+            for i in range(5))
+        self._blk_oh = jnp.asarray(blk_oh)
+        self._tile_block_d = jnp.asarray(
+            self.tile_block.reshape(self.ngroups, LANES))
+        self._tile_nbytes_d = jnp.asarray(
+            self.tile_nbytes.reshape(self.ngroups, LANES))
+        self._interpret = interpret
+
+    def run(self, seed_ll: np.ndarray, seed_d: np.ndarray,
+            numiterations: int, fetch_cap: int | None = None):
+        """Run the full squeeze; returns per-block parses + costs.
+
+        seed_ll: (nb, 288) counts, seed_d: (nb, 32).
+        Returns (parses, best_cost, best_sll, best_sd): parses is a
+        list of (litlens, dists) uint16 arrays per global block.
+        Raises FetchOverflow if any lane's path exceeds fetch_cap rows
+        (caller retries with fetch_cap=TILE).
+        """
+        if fetch_cap is None:
+            fetch_cap = TILE // 2
+        scan = scan_kernel.make_scan(TILE, LANES, KBP,
+                                     interpret=self._interpret,
+                                     groups=self.ngroups)
+        traceback = scan_kernel.make_traceback(TILE, LANES,
+                                               interpret=self._interpret,
+                                               groups=self.ngroups)
+        run_all = _make_run_all(scan, traceback, self.ngroups, self.nb_pad,
+                                self._nv, fetch_cap,
+                                interpret=self._interpret)
+
+        sll = np.zeros((self.nb_pad, spec.NUM_LL), np.int32)
+        sd = np.zeros((self.nb_pad, spec.NUM_D), np.int32)
+        sll[:self.nb] = seed_ll
+        sd[:self.nb] = seed_d
+        ll_maps, d_maps = costmodel.randomize_maps(MAX_EVENTS)
+
+        best_cost, best_sll, best_sd, nsym, packed = run_all(
+            *self._prep, self._tile_block_d, self._tile_nbytes_d,
+            self._blk_oh, jnp.asarray(sll), jnp.asarray(sd),
+            self._byte_values, jnp.asarray(np.asarray(ll_maps)),
+            jnp.asarray(np.asarray(d_maps)), jnp.int32(numiterations))
+
+        nsym_h = np.asarray(nsym).reshape(-1)        # (G*LANES,)
+        if (nsym_h[:self.nt] > fetch_cap).any():
+            raise FetchOverflow()
+        packed_h = np.asarray(packed)                # (G, fetch_cap, LANES)
+        best_cost = np.asarray(best_cost)[:self.nb]
+        best_sll = np.asarray(best_sll)[:self.nb]
+        best_sd = np.asarray(best_sd)[:self.nb]
+
+        parses = []
+        t = 0
+        for b in range(self.nb):
+            lit_parts, dist_parts = [], []
+            while t < self.nt and self.tile_block[t] == b:
+                g, lane = divmod(t, LANES)
+                k = int(nsym_h[t])
+                rows = packed_h[g, :k, lane].astype(np.int64)
+                pl = rows & 0x1FF
+                pd = rows >> 9
+                # Positions are implied: literal rows step 1 (pl == 1),
+                # match rows step pl.
+                pos = np.concatenate([[0], np.cumsum(pl[:-1])])
+                bytes_at = self.data[self.tile_abs[t] + pos]
+                lit_parts.append(np.where(pl >= spec.MIN_MATCH, pl,
+                                          bytes_at).astype(np.uint16))
+                dist_parts.append(np.where(pl >= spec.MIN_MATCH, pd,
+                                           0).astype(np.uint16))
+                t += 1
+            if lit_parts:
+                parses.append((np.concatenate(lit_parts),
+                               np.concatenate(dist_parts)))
+            else:
+                parses.append((np.zeros(0, np.uint16),
+                               np.zeros(0, np.uint16)))
+        return parses, best_cost, best_sll, best_sd
+
+    def verify_parse(self, b: int, litlens: np.ndarray,
+                     dists: np.ndarray) -> bool:
+        """Hash-collision guard: every match must reproduce its bytes."""
+        instart, inend = self.block_bounds[b]
+        if len(litlens) == 0:
+            return inend == instart
+        step = np.where(dists == 0, 1, litlens).astype(np.int64)
+        if int(step.sum()) != inend - instart:
+            return False
+        pos = np.concatenate([[0], np.cumsum(step[:-1])]) + instart
+        m = dists != 0
+        if not m.any():
+            return True
+        mp = pos[m]
+        md = dists[m].astype(np.int64)
+        ml = litlens[m].astype(np.int64)
+        if (md > mp).any() or (md > spec.WINDOW_SIZE).any():
+            return False
+        total = int(ml.sum())
+        offs = np.arange(total) - np.repeat(np.cumsum(ml) - ml, ml)
+        dsts = np.repeat(mp, ml) + offs
+        srcs = np.repeat(mp - md, ml) + offs
+        return bool(np.array_equal(self.data[dsts], self.data[srcs]))

@@ -240,15 +240,34 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
 
     # Per-level most-recent candidates: the minimum distance achieving
     # each ladder length (distance precision for short/mid matches).
+    # All levels ride ONE batched stable sort (identical per-row results
+    # to the per-level sorts; dimension=1 sorts rows independently).
+    nr = len(RECENT_LEVELS)
+    keys = jnp.stack([h[lvl] for lvl in RECENT_LEVELS])        # (R, n)
+    idx_b = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                             keys.shape)
+    sk, si = jax.lax.sort((keys, idx_b), num_keys=1, is_stable=True,
+                          dimension=1)
+    prev_i = jnp.concatenate(
+        [jnp.full((nr, 1), -1, jnp.int32), si[:, :-1]], axis=1)
+    prev_k = jnp.concatenate(
+        [jnp.zeros((nr, 1), keys.dtype), sk[:, :-1]], axis=1)
+    same = (prev_k == sk) & (prev_i >= min_pos)
+    dist_sr = si - prev_i
+    ok = same & (dist_sr >= 1) & (dist_sr <= spec.WINDOW_SIZE)
+    cand_r = jnp.where(ok, prev_i, -1)
+    recent_all = jnp.full(keys.shape, -1, jnp.int32)
+    recent_all = recent_all.at[jnp.arange(nr)[:, None], si].set(cand_r)
+    recent_all = recent_all[:, instart:instart + L]             # (R, L)
+
     ln_parts = [ln_n]
     dist_parts = [dist_n]
-    for lvl in RECENT_LEVELS:
-        recent = _recent_same_key(h[lvl], 1, min_pos)[instart:instart + L]
-        valid_r = recent >= 0
-        dist_r = jnp.where(valid_r, pos - recent, spec.WINDOW_SIZE + 1)
-        ln_r = jnp.where(valid_r, np.int32(lvl), 0)
-        ln_parts.append(jnp.minimum(ln_r, cap))
-        dist_parts.append(dist_r)
+    lvl_arr = np.asarray(RECENT_LEVELS, np.int32)
+    valid_r = recent_all >= 0
+    dist_r = jnp.where(valid_r, pos.T - recent_all, spec.WINDOW_SIZE + 1)
+    ln_r = jnp.where(valid_r, lvl_arr[:, None], 0)
+    ln_parts.append(jnp.minimum(ln_r, cap.T).T)
+    dist_parts.append(dist_r.T)
 
     lcp = jnp.concatenate(ln_parts, axis=1)
     dist = jnp.concatenate(dist_parts, axis=1)

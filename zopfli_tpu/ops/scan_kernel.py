@@ -36,8 +36,8 @@ SHIFT = 272      # carried window rows (>= 258, multiple of 16)
 
 
 @functools.lru_cache(maxsize=None)
-def make_scan(tile: int, nt: int, kbp: int, ch: int = 32,
-              interpret: bool = False):
+def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
+              interpret: bool = False, groups: int = 1):
     """Build the jitted DP scan for a (tile, lanes, breakpoints) shape.
 
     Returns fn(bp_len, bp_dist, bp_dcost, litcost, lcost_vec) ->
@@ -48,6 +48,13 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 32,
       lcost_vec: (W, nt) float32 — length-symbol cost for lengths 3..258
       cl, cd: (tile + 1, nt) int32 — edge chosen to reach each position
       cost: (tile, nt) float32 — final cost of positions 1..tile
+
+    With groups > 1, all position-major inputs/outputs carry a leading
+    group axis folded into rows ((groups*tile, ...); lcost_vec becomes
+    (groups*W, nt)) and one grid serves every group — a single kernel
+    instance and a single dispatch for a whole multi-master batch.  The
+    grouped variant returns raw (groups*tile, nt) cl/cd (no leading
+    zero row).
     """
     assert tile % ch == 0, (tile, ch)
     nch = tile // ch
@@ -59,42 +66,57 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 32,
         # Constants must be materialized inside the kernel body.
         liota = jax.lax.broadcasted_iota(jnp.int32, (W, nt), 0) + 3
 
-        @pl.when(c == 0)
+        @pl.when(c % nch == 0)
         def _():
             buf[:, :] = jnp.full((buf_rows, nt), BIG, jnp.float32)
             buf[0, :] = jnp.zeros((nt,), jnp.float32)
             clb[:, :] = jnp.zeros((buf_rows, nt), jnp.int32)
             cdb[:, :] = jnp.zeros((buf_rows, nt), jnp.int32)
 
-        # Fully unrolled over the chunk: every offset is static, which
-        # Mosaic lowers to aligned vector ops (dynamic sublane offsets
-        # can't be proven 8-aligned and fail to compile at wider lanes).
-        for j in range(ch):
-            cost_j = buf[j, :]
+        def step(j):
+            cost_j = buf[pl.ds(j, 1), :][0]
             # Literal edge j -> j+1.
-            lt = cost_j + lit_ref[j, :]
-            pred = lt < buf[j + 1, :]
-            buf[j + 1, :] = jnp.where(pred, lt, buf[j + 1, :])
-            clb[j + 1, :] = jnp.where(pred, 1, clb[j + 1, :])
-            cdb[j + 1, :] = jnp.where(pred, 0, cdb[j + 1, :])
+            lt = cost_j + lit_ref[pl.ds(j, 1), :][0]
+            old1 = buf[pl.ds(j + 1, 1), :][0]
+            pred = lt < old1
+            buf[pl.ds(j + 1, 1), :] = jnp.where(pred, lt, old1)[None]
+            clb[pl.ds(j + 1, 1), :] = jnp.where(
+                pred, 1, clb[pl.ds(j + 1, 1), :][0])[None]
+            cdb[pl.ds(j + 1, 1), :] = jnp.where(
+                pred, 0, cdb[pl.ds(j + 1, 1), :][0])[None]
 
             # Expand breakpoints to dense per-length (dist cost, dist).
             dcost = jnp.full((W, nt), BIG, jnp.float32)
             ddist = jnp.zeros((W, nt), jnp.int32)
             for k in range(kbp - 1, -1, -1):
-                bl = bl_ref[j, k, :]
+                bl = bl_ref[pl.ds(j, 1), k, :][0]
                 sel = liota <= bl[None, :]
-                dcost = jnp.where(sel, bc_ref[j, k, :][None, :], dcost)
-                ddist = jnp.where(sel, bd_ref[j, k, :][None, :], ddist)
+                dcost = jnp.where(sel, bc_ref[pl.ds(j, 1), k, :][0][None, :],
+                                  dcost)
+                ddist = jnp.where(sel, bd_ref[pl.ds(j, 1), k, :][0][None, :],
+                                  ddist)
 
             new = cost_j[None, :] + lcost_ref[:, :] + dcost
-            old = buf[j + 3:j + 3 + W, :]
+            old = buf[pl.ds(j + 3, W), :]
             pred = new < old
-            buf[j + 3:j + 3 + W, :] = jnp.where(pred, new, old)
-            oldl = clb[j + 3:j + 3 + W, :]
-            clb[j + 3:j + 3 + W, :] = jnp.where(pred, liota, oldl)
-            oldd = cdb[j + 3:j + 3 + W, :]
-            cdb[j + 3:j + 3 + W, :] = jnp.where(pred, ddist, oldd)
+            buf[pl.ds(j + 3, W), :] = jnp.where(pred, new, old)
+            oldl = clb[pl.ds(j + 3, W), :]
+            clb[pl.ds(j + 3, W), :] = jnp.where(pred, liota, oldl)
+            oldd = cdb[pl.ds(j + 3, W), :]
+            cdb[pl.ds(j + 3, W), :] = jnp.where(pred, ddist, oldd)
+
+        if interpret:
+            # Dynamic indexing keeps the trace small (the grid loop is
+            # traced per step in interpret mode; an unrolled chunk body
+            # makes test-mode compiles scale with total positions).
+            jax.lax.fori_loop(0, ch, lambda j, _: (step(j), 0)[1], 0)
+        else:
+            # Fully unrolled on TPU: every offset is static, which
+            # Mosaic lowers to aligned vector ops (dynamic sublane
+            # offsets can't be proven 8-aligned and fail to compile at
+            # wider lanes).
+            for j in range(ch):
+                step(j)
 
         # Positions c*ch+1 .. c*ch+ch are final: emit and slide.
         cost_out[:, :] = buf[pl.ds(1, ch), :]
@@ -113,7 +135,8 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 32,
         pl.BlockSpec((ch, kbp, nt), lambda c: (c, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((ch, nt), lambda c: (c, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((W, nt), lambda c: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, nt), lambda c: (c // nch, 0),
+                     memory_space=pltpu.VMEM),
     ]
     grid_out = [
         pl.BlockSpec((ch, nt), lambda c: (c, 0), memory_space=pltpu.VMEM),
@@ -123,15 +146,16 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 32,
 
     @jax.jit
     def run(bp_len, bp_dist, bp_dcost, litcost, lcost_vec):
+        rows = groups * tile
         cl, cd, cost = pl.pallas_call(
             kern,
-            grid=(nch,),
+            grid=(groups * nch,),
             in_specs=grid_in,
             out_specs=grid_out,
             out_shape=[
-                jax.ShapeDtypeStruct((tile, nt), jnp.int32),
-                jax.ShapeDtypeStruct((tile, nt), jnp.int32),
-                jax.ShapeDtypeStruct((tile, nt), jnp.float32),
+                jax.ShapeDtypeStruct((rows, nt), jnp.int32),
+                jax.ShapeDtypeStruct((rows, nt), jnp.int32),
+                jax.ShapeDtypeStruct((rows, nt), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((buf_rows, nt), jnp.float32),
@@ -140,6 +164,8 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 32,
             ],
             interpret=interpret,
         )(bp_len, bp_dist, bp_dcost, litcost, lcost_vec)
+        if groups > 1:
+            return cl, cd, cost
         zero = jnp.zeros((1, nt), jnp.int32)
         cl = jnp.concatenate([zero, cl], axis=0)
         cd = jnp.concatenate([zero, cd], axis=0)
@@ -178,7 +204,7 @@ def symbol_range_table() -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def make_traceback(tile: int, nt: int, ch: int = 32,
-                   interpret: bool = False):
+                   interpret: bool = False, groups: int = 1):
     """Backward traceback kernel: path symbols + histograms, no gathers.
 
     The DP path is walked backwards in lockstep over all lanes: a
@@ -194,6 +220,11 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
     ((tile, nt), row j = position j+1), lit (tile, nt) byte values,
     tile_nbytes (1, nt), symtab from symbol_range_table().
     pl[j] = edge length into position j+1 if on path else 0; pd = dist.
+
+    With groups > 1, row-major tensors carry a folded leading group axis
+    ((groups*tile, nt); nbytes (groups, nt); hist (groups*HBINS, nt))
+    and one grid walks every group back-to-front — a single kernel
+    instance for a whole multi-master batch.
     """
     assert tile % ch == 0
     nch = tile // ch
@@ -201,10 +232,11 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
     def kern(cl_ref, cd_ref, lit_ref, nbyt_ref, tab_ref,
              hist_out, pl_out, pd_out, nextpos, hist):
         c = pl.program_id(0)
-        base = (nch - 1 - c) * ch
+        inner = c % nch
+        base = (nch - 1 - inner) * ch
         riota = jax.lax.broadcasted_iota(jnp.int32, (HBINS, nt), 0)
 
-        @pl.when(c == 0)
+        @pl.when(inner == 0)
         def _():
             nextpos[0, :] = nbyt_ref[0, :]
             hist[:, :] = jnp.zeros((HBINS, nt), jnp.float32)
@@ -214,13 +246,13 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
         d_lo = tab_ref[:, 2:3]
         d_hi = tab_ref[:, 3:4]
 
-        for j in range(ch - 1, -1, -1):
+        def step(j):
             p = base + j + 1
             np_row = nextpos[0, :]
             active = np_row == p
-            l = cl_ref[j, :]
-            d = cd_ref[j, :]
-            byte = lit_ref[j, :]
+            l = cl_ref[pl.ds(j, 1), :][0]
+            d = cd_ref[pl.ds(j, 1), :][0]
+            byte = lit_ref[pl.ds(j, 1), :][0]
             is_match = l >= 3
 
             am = (active & is_match)[None, :]
@@ -229,37 +261,50 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
             oh |= am & (d[None, :] >= d_lo) & (d[None, :] < d_hi)
             hist[:, :] = hist[:, :] + oh.astype(jnp.float32)
 
-            pl_out[j, :] = jnp.where(active, l, 0)
-            pd_out[j, :] = jnp.where(active, d, 0)
+            pl_out[pl.ds(j, 1), :] = jnp.where(active, l, 0)[None]
+            pd_out[pl.ds(j, 1), :] = jnp.where(active, d, 0)[None]
             nextpos[0, :] = jnp.where(active, p - l, np_row)
+
+        if interpret:
+            jax.lax.fori_loop(
+                0, ch, lambda t, _: (step(ch - 1 - t), 0)[1], 0)
+        else:
+            for j in range(ch - 1, -1, -1):
+                step(j)
 
         hist_out[:, :] = hist[:, :]
 
-    rev = lambda c: (nch - 1 - c, 0)
+    rev = lambda c: ((c // nch) * nch + (nch - 1 - c % nch), 0)
     @jax.jit
     def run(cl, cd, lit, tile_nbytes, symtab):
+        # tile_nbytes: (groups, nt) -> 8 replicated sublane rows per
+        # group (Mosaic requires sublane-divisible block shapes).
+        tile_nbytes = jnp.broadcast_to(tile_nbytes[:, None, :],
+                                       (groups, 8, nt)).reshape(
+                                           groups * 8, nt)
+        rows = groups * tile
         return pl.pallas_call(
             kern,
-            grid=(nch,),
+            grid=(groups * nch,),
             in_specs=[
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nt), lambda c: (0, 0),
+                pl.BlockSpec((8, nt), lambda c: (c // nch, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((HBINS, 8), lambda c: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((HBINS, nt), lambda c: (0, 0),
+                pl.BlockSpec((HBINS, nt), lambda c: (c // nch, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((HBINS, nt), jnp.float32),
-                jax.ShapeDtypeStruct((tile, nt), jnp.int32),
-                jax.ShapeDtypeStruct((tile, nt), jnp.int32),
+                jax.ShapeDtypeStruct((groups * HBINS, nt), jnp.float32),
+                jax.ShapeDtypeStruct((rows, nt), jnp.int32),
+                jax.ShapeDtypeStruct((rows, nt), jnp.int32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((1, nt), jnp.int32),

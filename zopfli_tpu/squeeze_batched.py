@@ -33,6 +33,76 @@ class _BlockIter:
         self.last_random_step = -1
 
 
+def lz77_optimal_fused(data: np.ndarray, masters, numiterations: int,
+                       greedy_fn, interpret: bool | None = None,
+                       trace=None) -> list[list[LZ77Store]]:
+    """Fused-squeeze parses for a batch of masters: ONE device dispatch.
+
+    masters: list of (instart, inend, block_bounds).  The full
+    iteration control (squeeze.c:446-526) runs on device
+    (ops.fused_engine); per-block final stores come back compacted.
+    Returns one list of LZ77Store per master, blocks in order.
+    """
+    from . import native
+    from .ops.fused_engine import FetchOverflow, FusedSqueeze
+    from .ops import fused_engine
+
+    if numiterations < 1:
+        raise ValueError("numiterations must be >= 1")
+
+    fs = FusedSqueeze(data, masters, interpret=interpret)
+    nb = fs.nb
+
+    # Seed stats per block from its greedy parse (squeeze.c:481-482).
+    seed_ll = np.zeros((nb, spec.NUM_LL), np.int64)
+    seed_d = np.zeros((nb, spec.NUM_D), np.int64)
+    for b, (bs, be) in enumerate(fs.block_bounds):
+        glit, gdist = greedy_fn(data, bs, be)
+        st = SymbolStats()
+        st.fill_from_store(LZ77Store(data, glit, gdist, bs))
+        seed_ll[b] = st.litlens
+        seed_d[b] = st.dists
+
+    try:
+        parses, best_cost, best_sll, best_sd = fs.run(
+            seed_ll, seed_d, numiterations)
+    except FetchOverflow:
+        # Dense parses (incompressible data): retry with full fetch.
+        parses, best_cost, best_sll, best_sd = fs.run(
+            seed_ll, seed_d, numiterations, fetch_cap=fused_engine.TILE)
+
+    out: list[list[LZ77Store]] = []
+    b = 0
+    for (instart, inend, bb) in fs.masters:
+        stores = []
+        for _ in range(len(bb) - 1):
+            bs, be = fs.block_bounds[b]
+            lit, dst = parses[b]
+            if trace is not None:
+                trace(b, numiterations - 1, float(best_cost[b]))
+            if not fs.verify_parse(b, lit, dst):
+                # Hash collision (cryptographically unlikely): exact
+                # host fallback for this block using the best stats.
+                eng = native.BlockEngine(data, bs, be)
+                try:
+                    ll_cost = np.asarray(
+                        _entropy_f64(best_sll[b]), np.float64)
+                    d_cost = np.asarray(
+                        _entropy_f64(best_sd[b]), np.float64)
+                    lit, dst = eng.squeeze_run(ll_cost, d_cost)
+                finally:
+                    eng.close()
+            stores.append(LZ77Store(data, lit, dst, bs))
+            b += 1
+        out.append(stores)
+    return out
+
+
+def _entropy_f64(counts: np.ndarray) -> np.ndarray:
+    from .entropy import calculate_entropy
+    return calculate_entropy(counts.astype(np.int64))
+
+
 def lz77_optimal_batched(data: np.ndarray, instart: int, inend: int,
                          block_bounds: list[int], numiterations: int,
                          greedy_fn, interpret: bool | None = None,
