@@ -22,9 +22,14 @@ All outputs depend only on the input bytes, so one evaluation per
 master block serves every squeeze iteration (this subsumes the
 reference's longest-match cache, cache.c).  Match lengths are
 *underestimates* (quantized to the ladder, hash-verified): a shorter
-claim is always a valid match, up to hash collisions, which the
-emission path guards against by verifying chosen matches on the host
-with a transparent fallback to the exact native engine.
+claim is always a valid match, up to hash collisions.  Candidate
+equality decisions are confirmed with a second independent hash family
+(see _P2) — without it, sorting by the primary hash concentrates all
+of its ~n^2/2^33 pairwise collisions into adjacent slots, making false
+candidates near-certain at 1 MiB scale.  The only unconfirmed checks
+are the greedy-doubling refinement steps (~0.01 expected false matches
+per MiB); the emission path still verifies chosen matches on the host
+and falls back to the exact native engine on the rare failure.
 """
 
 from __future__ import annotations
@@ -52,13 +57,20 @@ RECENT_LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 48, 64)
 # interior breakpoint only widens the distance used for its range.
 MAX_BP = 8
 
-# Polynomial rolling-hash base (odd, so powers never vanish mod 2^32).
+# Polynomial rolling-hash bases (odd, so powers never vanish mod 2^32).
+# Two independent families: sorts and grouping use _P; every equality
+# DECISION is confirmed with the _P2 family.  Sorting positions by a
+# 32-bit hash concentrates all of its pairwise collisions into adjacent
+# slots (~n^2/2^33 false pairs per level — hundreds at 1 MiB), so a
+# single family makes false long matches near-certain at master scale;
+# the second family cuts the false-candidate rate to ~2^-64 per pair.
 _P = np.uint32(0x01000193)
+_P2 = np.uint32(0xCC9E2D51)
 
 
-def _pow_mod(e: int) -> np.uint32:
+def _pow_mod(e: int, base: np.uint32 = _P) -> np.uint32:
     r = np.uint64(1)
-    b = np.uint64(_P)
+    b = np.uint64(base)
     while e:
         if e & 1:
             r = (r * b) & np.uint64(0xFFFFFFFF)
@@ -67,7 +79,8 @@ def _pow_mod(e: int) -> np.uint32:
     return np.uint32(r)
 
 
-def _ladder(data_padded: jnp.ndarray) -> dict[int, jnp.ndarray]:
+def _ladder(data_padded: jnp.ndarray,
+            base: np.uint32 = _P) -> dict[int, jnp.ndarray]:
     """u32 prefix hashes for every LEVELS entry (+ pow2 scaffolding).
 
     Polynomial hash H(s) = sum b[k] * P^(L-1-k): composition
@@ -76,13 +89,14 @@ def _ladder(data_padded: jnp.ndarray) -> dict[int, jnp.ndarray]:
     """
     n = data_padded.shape[0]
     h = {1: data_padded.astype(jnp.uint32)}
+    pow_mod = functools.partial(_pow_mod, base=base)
 
     def shifted(arr, by):
         return jnp.concatenate([arr[by:], jnp.zeros(by, jnp.uint32)])
 
     for lvl in (2, 4, 8, 16, 32, 64, 128, 256):
         half = lvl // 2
-        h[lvl] = h[half] * jnp.uint32(_pow_mod(half)) + shifted(h[half], half)
+        h[lvl] = h[half] * jnp.uint32(pow_mod(half)) + shifted(h[half], half)
 
     def compose(parts):
         acc = None
@@ -90,7 +104,7 @@ def _ladder(data_padded: jnp.ndarray) -> dict[int, jnp.ndarray]:
         for p in parts:
             piece = shifted(h[p], off) if off else h[p]
             acc = piece if acc is None else \
-                acc * jnp.uint32(_pow_mod(p)) + piece
+                acc * jnp.uint32(pow_mod(p)) + piece
             off += p
         return acc
 
@@ -116,28 +130,6 @@ def _ladder(data_padded: jnp.ndarray) -> dict[int, jnp.ndarray]:
 PREFIX = spec.WINDOW_SIZE
 
 
-def _recent_same_key(key: jnp.ndarray, k: int,
-                     min_pos: jnp.ndarray) -> jnp.ndarray:
-    """For each position, its k most recent predecessors with equal key."""
-    n = key.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    sorted_k, sorted_idx = jax.lax.sort((key, idx), num_keys=1,
-                                        is_stable=True)
-    cands = []
-    for j in range(1, k + 1):
-        prev_idx = jnp.concatenate(
-            [jnp.full(j, -1, jnp.int32), sorted_idx[:-j]])
-        prev_k = jnp.concatenate([jnp.zeros(j, key.dtype), sorted_k[:-j]])
-        same = (prev_k == sorted_k) & (prev_idx >= min_pos)
-        dist = sorted_idx - prev_idx
-        ok = same & (dist >= 1) & (dist <= spec.WINDOW_SIZE)
-        cands.append(jnp.where(ok, prev_idx, -1))
-    cand_sorted = jnp.stack(cands, axis=1)
-    out = jnp.full((n, k), -1, jnp.int32)
-    out = out.at[sorted_idx].set(cand_sorted)
-    return out
-
-
 @functools.partial(jax.jit, static_argnums=(1,))
 def build_candidates(data_padded: jnp.ndarray, block_cap: int,
                      min_pos: jnp.ndarray, inend_real: jnp.ndarray):
@@ -156,6 +148,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
       best_len (block_cap,) int32 — longest match, <3 if none
     """
     h = _ladder(data_padded)
+    h2 = _ladder(data_padded, base=_P2)
     n = data_padded.shape[0]
     instart = PREFIX
     L = block_cap
@@ -178,12 +171,23 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # removes a 26-way level->length expansion downstream.
     all_eq = jnp.ones(n, bool)
     adj_lvl = jnp.zeros(n, jnp.int16)
+    adj_idx = jnp.zeros(n, jnp.int32)
     for li in range(nl):
         sk = skeys[li]
         eq = jnp.concatenate(
             [jnp.zeros(1, bool), sk[1:] == sk[:-1]])
         all_eq = all_eq & eq
         adj_lvl = jnp.where(all_eq, np.int16(LEVELS[li]), adj_lvl)
+        adj_idx = jnp.where(all_eq, li, adj_idx)
+
+    # Confirm each pair's claimed level with the second hash family:
+    # two flat n-sized gathers at the final level (not 26n) — a pair
+    # failing confirmation is a sort-concentrated _P collision.
+    h2flat = jnp.stack([h2[lvl] for lvl in LEVELS]).reshape(-1)
+    sidx_prev = jnp.concatenate([sidx[:1], sidx[:-1]])
+    vcur = jnp.take(h2flat, adj_idx * n + sidx)
+    vprev = jnp.take(h2flat, adj_idx * n + sidx_prev)
+    adj_lvl = jnp.where(vcur == vprev, adj_lvl, np.int16(0))
 
     # Neighbor candidates: positions j slots away in suffix order, with
     # pairwise level = running min of adjacent levels (transitivity).
@@ -244,15 +248,18 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # to the per-level sorts; dimension=1 sorts rows independently).
     nr = len(RECENT_LEVELS)
     keys = jnp.stack([h[lvl] for lvl in RECENT_LEVELS])        # (R, n)
+    keys2 = jnp.stack([h2[lvl] for lvl in RECENT_LEVELS])
     idx_b = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
                              keys.shape)
-    sk, si = jax.lax.sort((keys, idx_b), num_keys=1, is_stable=True,
-                          dimension=1)
+    sk, si, sk2 = jax.lax.sort((keys, idx_b, keys2), num_keys=1,
+                               is_stable=True, dimension=1)
     prev_i = jnp.concatenate(
         [jnp.full((nr, 1), -1, jnp.int32), si[:, :-1]], axis=1)
     prev_k = jnp.concatenate(
         [jnp.zeros((nr, 1), keys.dtype), sk[:, :-1]], axis=1)
-    same = (prev_k == sk) & (prev_i >= min_pos)
+    prev_k2 = jnp.concatenate(
+        [jnp.zeros((nr, 1), keys2.dtype), sk2[:, :-1]], axis=1)
+    same = (prev_k == sk) & (prev_k2 == sk2) & (prev_i >= min_pos)
     dist_sr = si - prev_i
     ok = same & (dist_sr >= 1) & (dist_sr <= spec.WINDOW_SIZE)
     cand_r = jnp.where(ok, prev_i, -1)
