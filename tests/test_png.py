@@ -246,3 +246,41 @@ def test_keepcolortype():
     assert ih_auto.data[9] == 3   # auto palettizes this image
     assert ih_keep.data[9] == 2   # keepcolortype stays RGB
     assert np.array_equal(_pil_rgba(keep), _pil_rgba(png))
+
+
+def test_lossy_transparent_modes():
+    """The three LossyOptimizeTransparent modes (zopflipng_lib.cc:86-135)."""
+    from zopfli_tpu.png.optimize import lossy_optimize_transparent
+
+    # key/palette mode: binary alpha -> every clear pixel gets the RGB
+    # of the FIRST clear pixel.
+    a = np.zeros((4, 4, 4), np.uint8)
+    a[:, :, 3] = 255
+    a[0, 1] = [10, 20, 30, 0]
+    a[2, 2] = [90, 91, 92, 0]
+    out = lossy_optimize_transparent(a)
+    assert tuple(out[0, 1, :3]) == (10, 20, 30)
+    assert tuple(out[2, 2, :3]) == (10, 20, 30)
+
+    # no-key no-palette mode: partial alpha + >256 colors -> clear
+    # pixels copy the last opaque RGB; before any opaque pixel, zeros.
+    rng = np.random.default_rng(0)
+    b = rng.integers(0, 256, (32, 32, 4)).astype(np.uint8)
+    b[:, :, 3] = 255
+    b[0, 0] = [7, 8, 9, 128]          # partial alpha kills key mode
+    b[0, 1] = [1, 2, 3, 0]
+    b[5, 5] = [99, 98, 97, 0]
+    flat = b.reshape(-1, 4)
+    out = lossy_optimize_transparent(b).reshape(-1, 4)
+    i1 = 1                             # b[0,1] follows opaque b[0,0]
+    assert tuple(out[i1, :3]) == (7, 8, 9)
+    i2 = 5 * 32 + 5
+    assert tuple(out[i2, :3]) == tuple(flat[i2 - 1, :3])
+
+    # leading clear run with no preceding opaque pixel -> zeros.
+    c = rng.integers(0, 256, (32, 32, 4)).astype(np.uint8)
+    c[:, :, 3] = 255
+    c[16, 16, 3] = 128                 # kill key mode
+    c[0, 0] = [50, 60, 70, 0]
+    out = lossy_optimize_transparent(c)
+    assert tuple(out[0, 0, :3]) == (0, 0, 0)

@@ -47,6 +47,9 @@ def lib() -> ctypes.CDLL:
         f64p = ctypes.POINTER(ctypes.c_double)
         l.zt_greedy.restype = ctypes.c_int64
         l.zt_greedy.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u16p, u16p]
+        l.zt_png_unfilter.restype = ctypes.c_int64
+        l.zt_png_unfilter.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, u8p]
         l.zt_block_new.restype = ctypes.c_void_p
         l.zt_block_new.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64]
         l.zt_block_free.restype = None
@@ -102,6 +105,19 @@ def greedy(data: np.ndarray, instart: int, inend: int):
     n = l.zt_greedy(_u8ptr(data), instart, inend, _u16ptr(litlens),
                     _u16ptr(dists))
     return litlens[:n].copy(), dists[:n].copy()
+
+
+def png_unfilter(raw: np.ndarray, height: int, stride: int,
+                 bpp_bytes: int) -> np.ndarray:
+    """PNG scanline unfilter; returns (height, stride) uint8."""
+    l = lib()
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    out = np.empty((height, stride), dtype=np.uint8)
+    rc = l.zt_png_unfilter(_u8ptr(raw), height, stride, bpp_bytes,
+                           _u8ptr(out.reshape(-1)))
+    if rc != 0:
+        raise ValueError(f"bad filter type on line {rc - 1}")
+    return out
 
 
 class BlockEngine:

@@ -1060,6 +1060,60 @@ int64_t zt_greedy(const uint8_t* data, int64_t instart, int64_t inend,
   return zt::GreedyParse(data, instart, inend, out_litlens, out_dists);
 }
 
+// PNG scanline unfilter (RFC 2083 §6; lodepng.cpp:4101-4305 semantics).
+// raw: height*(1+stride) filtered bytes.  Returns 0, or 1 + bad line
+// index on an invalid filter type.  Serial in the Up/Avg/Paeth line
+// dependency, so this lives in C rather than per-byte Python.
+int64_t zt_png_unfilter(const uint8_t* raw, int64_t height, int64_t stride,
+                        int64_t bpp, uint8_t* out) {
+  const uint8_t* prev = nullptr;
+  for (int64_t y = 0; y < height; y++) {
+    const uint8_t* in = raw + y * (stride + 1);
+    uint8_t* rec = out + y * stride;
+    const uint8_t f = in[0];
+    const uint8_t* line = in + 1;
+    switch (f) {
+      case 0:
+        memcpy(rec, line, stride);
+        break;
+      case 1:  // Sub
+        for (int64_t x = 0; x < stride; x++)
+          rec[x] = line[x] + (x >= bpp ? rec[x - bpp] : 0);
+        break;
+      case 2:  // Up
+        if (prev)
+          for (int64_t x = 0; x < stride; x++) rec[x] = line[x] + prev[x];
+        else
+          memcpy(rec, line, stride);
+        break;
+      case 3:  // Average
+        for (int64_t x = 0; x < stride; x++) {
+          const int a = x >= bpp ? rec[x - bpp] : 0;
+          const int b = prev ? prev[x] : 0;
+          rec[x] = line[x] + ((a + b) >> 1);
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t x = 0; x < stride; x++) {
+          const int a = x >= bpp ? rec[x - bpp] : 0;
+          const int b = prev ? prev[x] : 0;
+          const int c = (prev && x >= bpp) ? prev[x - bpp] : 0;
+          const int p = a + b - c;
+          const int pa = p >= a ? p - a : a - p;
+          const int pb = p >= b ? p - b : b - p;
+          const int pc = p >= c ? p - c : c - p;
+          const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          rec[x] = line[x] + pred;
+        }
+        break;
+      default:
+        return 1 + y;
+    }
+    prev = rec;
+  }
+  return 0;
+}
+
 void* zt_block_new(const uint8_t* data, int64_t instart, int64_t inend) {
   return new zt::BlockEngine(data, instart, inend);
 }

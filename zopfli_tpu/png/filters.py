@@ -35,8 +35,15 @@ def unfilter(raw: np.ndarray, height: int, stride: int,
              bpp_bytes: int) -> np.ndarray:
     """Undo per-line filters.  raw: height*(1+stride) filtered bytes.
 
-    Returns (height, stride) uint8 of reconstructed scanlines.
+    Returns (height, stride) uint8 of reconstructed scanlines.  The
+    Sub/Avg/Paeth recurrences are serial per byte, so the hot path is
+    the native C unfilter; the numpy loop below is the fallback oracle.
     """
+    try:
+        from .. import native
+        return native.png_unfilter(raw, height, stride, bpp_bytes)
+    except (OSError, ImportError):  # no compiler: pure-python fallback
+        pass
     raw = raw.reshape(height, 1 + stride)
     ftypes = raw[:, 0]
     data = raw[:, 1:].astype(np.uint8)
@@ -127,13 +134,15 @@ def strategy_minsum(candidates: np.ndarray) -> np.ndarray:
 
 def strategy_entropy(candidates: np.ndarray) -> np.ndarray:
     """Per line, the filter minimizing the byte-histogram entropy
-    (LFS_ENTROPY, lodepng.cpp:5566-5599)."""
+    (LFS_ENTROPY, lodepng.cpp:5566-5599).  One bincount over offset
+    line ids replaces the per-line Python loop."""
     nf, h, stride = candidates.shape
-    scores = np.empty((nf, h))
-    for f in range(nf):
-        for y in range(h):
-            counts = np.bincount(candidates[f, y], minlength=256)
-            nz = counts[counts > 0]
-            p = nz / stride
-            scores[f, y] = -(p * np.log2(p)).sum()
+    ids = np.arange(nf * h, dtype=np.int64)[:, None] * 256
+    flat = candidates.reshape(nf * h, stride).astype(np.int64) + ids
+    counts = np.bincount(flat.ravel(), minlength=nf * h * 256)
+    counts = counts.reshape(nf, h, 256)
+    p = counts / stride
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.where(counts > 0, -p * np.log2(p, where=counts > 0), 0.0)
+    scores = terms.sum(axis=2)
     return np.argmin(scores, axis=0)

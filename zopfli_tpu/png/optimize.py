@@ -310,24 +310,47 @@ def _pixels_equal(a: np.ndarray, b: np.ndarray, alpha_aware: bool) -> bool:
 
 def lossy_optimize_transparent(rgba: np.ndarray) -> np.ndarray:
     """Rewrite RGB of fully transparent pixels for better compression
-    (LossyOptimizeTransparent, zopflipng_lib.cc:86-156, default mode:
-    copy the previous pixel's RGB so filters/matches see runs)."""
+    (LossyOptimizeTransparent, zopflipng_lib.cc:86-156), all 3 modes:
+
+    - key/palette mode (no partial alpha, or <=256 distinct colors with
+      transparency counted as one): every transparent pixel gets the RGB
+      of the FIRST transparent pixel, preserving a valid color key /
+      palette entry.
+    - otherwise: each transparent pixel copies the most recent opaque
+      pixel's RGB (0,0,0 before the first opaque one) so PNG filters
+      see runs of zeros.
+
+    The reference's final palette-shrink step (zopflipng_lib.cc:137-155)
+    mutates lodepng's input state; here the palette is rebuilt from the
+    rewritten pixels by choose_color_encoding, which subsumes it.
+    """
     out = rgba.copy()
-    h, w, _ = out.shape
     flat = out.reshape(-1, 4)
     clear = flat[:, 3] == 0
     if not clear.any():
         return out
-    idx = np.arange(len(flat))
-    keep = np.where(~clear, idx, 0)
-    np.maximum.accumulate(keep, out=keep)
-    flat[:, :3] = flat[keep, :3]
-    first_opaque = np.nonzero(~clear)[0]
-    if len(first_opaque):
-        f = first_opaque[0]
-        flat[:f, :3] = flat[f, :3]
+
+    # key: alpha is pure 0/255 everywhere (zopflipng_lib.cc:90-96).
+    key = not bool(((flat[:, 3] > 0) & (flat[:, 3] < 255)).any())
+    # palette: <=256 distinct colors, transparent-as-one (cc:97-102).
+    color_id = (flat[:, 0].astype(np.uint32)
+                | (flat[:, 1].astype(np.uint32) << 8)
+                | (flat[:, 2].astype(np.uint32) << 16)
+                | (flat[:, 3].astype(np.uint32) << 24))
+    palette = len(np.unique(np.where(clear, 0, color_id))) <= 256
+
+    if key or palette:
+        first_clear = int(np.nonzero(clear)[0][0])
+        flat[clear, :3] = flat[first_clear, :3]
     else:
-        flat[:, :3] = 0
+        # Last-opaque propagation; positions before the first opaque
+        # pixel keep the 0,0,0 initial value (cc:103,119-131).
+        idx = np.arange(len(flat))
+        keep = np.where(~clear, idx + 1, 0)   # 0 = "no opaque yet"
+        np.maximum.accumulate(keep, out=keep)
+        src = np.maximum(keep - 1, 0)
+        vals = np.where((keep == 0)[:, None], 0, flat[src, :3])
+        flat[clear, :3] = vals[clear]
     return out
 
 
