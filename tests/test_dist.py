@@ -32,3 +32,38 @@ def test_sharded_pipeline_matches_unsharded():
                                rtol=1e-6)
     assert abs(float(total) - float(np.asarray(cost0).sum())) < 1e-3 * \
         max(1.0, float(np.asarray(cost0).sum()))
+
+
+def test_mesh_fused_matches_single_device():
+    """Mesh-sharded fused squeeze == single-device fused squeeze, byte-
+    for-byte (the psum'd histograms are integer-valued, so iteration
+    control is exactly reproducible across shardings)."""
+    import numpy as np
+    from zopfli_tpu.deflate import Options, default_greedy, split_master
+    from zopfli_tpu.squeeze_batched import lz77_optimal_fused
+    from zopfli_tpu.parallel import dist
+
+    rng = np.random.default_rng(11)
+    words = [b"alpha ", b"beta ", b"gamma ", b"delta ", b"epsilon "]
+    data = b"".join(words[i] for i in rng.integers(0, len(words), 6000))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    opts = Options(engine="tpu")
+    greedy = default_greedy(opts)
+    n = len(arr)
+    bounds = split_master(opts, arr, 0, n, greedy)
+    spec_m = [(0, n, bounds)]
+
+    single = lz77_optimal_fused(arr, spec_m, 4, greedy, mesh=None)[0]
+    mesh = dist.make_mesh(8)
+    sharded = lz77_optimal_fused(arr, spec_m, 4, greedy, mesh=mesh)[0]
+
+    assert len(single) == len(sharded)
+    for a, b in zip(single, sharded):
+        assert np.array_equal(a.litlens, b.litlens)
+        assert np.array_equal(a.dists, b.dists)
+
+
+def test_dryrun_multichip_roundtrip():
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)

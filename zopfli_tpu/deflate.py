@@ -231,7 +231,7 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
         if inend > instart:
             stores = lz77_optimal_fused(
                 data, [(instart, inend, bounds)], options.numiterations,
-                greedy_fn, trace=trace)[0]
+                greedy_fn, trace=trace, mesh=local_mesh())[0]
         else:
             from .lz77 import LZ77Store as _S
             stores = [_S(data, np.zeros(0, np.uint16),
@@ -383,6 +383,7 @@ def _deflate_fused_masters(options: Options, data: np.ndarray, masters,
 
     from .squeeze_batched import lz77_optimal_fused
 
+    mesh = local_mesh()
     batch_n = max(1, int(_os.environ.get("ZT_BATCH_MASTERS", "8")))
     for i in range(0, len(masters), batch_n):
         chunk = masters[i:i + batch_n]
@@ -390,6 +391,29 @@ def _deflate_fused_masters(options: Options, data: np.ndarray, masters,
                   split_master(options, data, start, end, greedy_fn))
                  for (start, end, _fin) in chunk]
         all_stores = lz77_optimal_fused(data, specs, options.numiterations,
-                                        greedy_fn)
+                                        greedy_fn, mesh=mesh)
         for (start, end, fin), stores in zip(chunk, all_stores):
             finish_part(options, fin, stores, out, engine_factory)
+
+
+_LOCAL_MESH = [False]  # False = not yet built; None/Mesh once built
+
+
+def local_mesh():
+    """1-D mesh over local devices for the fused engine, or None.
+
+    Single-device hosts skip shard_map entirely (identical math, no
+    collective); multi-device hosts shard the fused loop's group axis
+    over all local devices (SURVEY §5 data-parallel axis).
+    """
+    if _LOCAL_MESH[0] is not False:
+        return _LOCAL_MESH[0]
+    import jax
+
+    devs = jax.local_devices()
+    if len(devs) <= 1:
+        _LOCAL_MESH[0] = None
+    else:
+        from .parallel import dist
+        _LOCAL_MESH[0] = dist.make_mesh(len(devs))
+    return _LOCAL_MESH[0]

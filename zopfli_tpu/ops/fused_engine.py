@@ -92,7 +92,7 @@ def _filler(n: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
                   nbyte_values: int, fetch_cap: int,
-                  interpret: bool = False):
+                  interpret: bool = False, mesh=None, axis: str = "blocks"):
     """The single-dispatch squeeze: all iterations, all groups.
 
     Group tensors arrive stacked on a leading axis.  Returns the final
@@ -105,6 +105,14 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
     Python loop instead: XLA:CPU takes >8 min to compile the cost
     stack (sorts in package_merge) inside a while body, while the body
     alone compiles in seconds.  Identical math either way.
+
+    With `mesh`, everything runs under shard_map: group tensors are
+    sharded over `axis` (ngroups here is the per-device group count;
+    the caller pads total groups to a device multiple), the per-block
+    iteration-control state is computed redundantly on every device,
+    and the ONE collective is a psum of the per-device block histogram
+    contributions (SURVEY §5 distributed-backend design: compression is
+    data-parallel; only observability/stats cross devices).
     """
     symtab = np.asarray(scan_kernel.symbol_range_table(), dtype=np.int32)
     HB = scan_kernel.HBINS
@@ -158,6 +166,8 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
             hist = jnp.einsum(
                 "ghl,glb->hb", hist_g.reshape(G, HB, LANES), blk_oh,
                 precision=jax.lax.Precision.HIGHEST)
+            if mesh is not None:
+                hist = jax.lax.psum(hist, axis)
             ll_hist = jnp.transpose(hist[:spec.NUM_LL]).astype(jnp.int32)
             d_hist = jnp.transpose(hist[spec.NUM_LL:]).astype(jnp.int32)
             return (ll_hist, d_hist, plp.reshape(G, TILE, LANES),
@@ -204,8 +214,8 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
 
         return body
 
-    def init_state(seed_ll, seed_d):
-        zeros_gp = jnp.zeros((ngroups, TILE, LANES), jnp.int32)
+    def init_state(seed_ll, seed_d, g: int = ngroups):
+        zeros_gp = jnp.zeros((g, TILE, LANES), jnp.int32)
         return (seed_ll, seed_d,
                 jnp.full((nb_pad,), LARGE_COST, jnp.int32),
                 jnp.zeros((nb_pad, spec.NUM_LL), jnp.int32),
@@ -232,11 +242,29 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
                   | (pd_c[:, :fetch_cap, :] << 9)).astype(jnp.int32)
         return best_cost, best_sll, best_sd, nsym, packed
 
+    # shard_map partition specs: group-major tensors sharded over the
+    # mesh axis, iteration-control/per-block state replicated.
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        ax = axis
+        TENS_SPECS = (P(ax, None, None), P(ax, None, None),
+                      P(ax, None, None), P(ax, None), P(ax, None),
+                      P(ax, None), P(ax, None), P(ax, None, None),
+                      P(), P(), P())
+        STATE_SPECS = (P(), P(), P(), P(), P(), P(), P(), P(),
+                       P(ax, None, None), P(ax, None, None))
+        OUT_SPECS = (P(), P(), P(), P(ax, None), P(ax, None, None))
+
+        def smap(fn, in_specs, out_specs):
+            return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
     if not interpret:
-        @jax.jit
-        def run_all(bl_t, bd_t, dsym_t, lit_t, valid_t,
-                    tile_block, tile_nbytes, blk_oh,
-                    seed_ll, seed_d, byte_values, ll_maps, d_maps, n_iter):
+        def run_core(bl_t, bd_t, dsym_t, lit_t, valid_t,
+                     tile_block, tile_nbytes, blk_oh,
+                     seed_ll, seed_d, byte_values, ll_maps, d_maps, n_iter):
             body = make_body(bl_t, bd_t, dsym_t, lit_t, valid_t,
                              tile_block, tile_nbytes, blk_oh,
                              byte_values, ll_maps, d_maps)
@@ -244,18 +272,30 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
                                       init_state(seed_ll, seed_d))
             return finish(state)
 
-        return run_all
+        if mesh is None:
+            return jax.jit(run_core)
+        return jax.jit(smap(
+            run_core,
+            in_specs=TENS_SPECS[:8] + (P(), P(), P(), P(), P(), P()),
+            out_specs=OUT_SPECS))
 
-    @jax.jit
-    def step(i, state, bl_t, bd_t, dsym_t, lit_t, valid_t,
-             tile_block, tile_nbytes, blk_oh, byte_values,
-             ll_maps, d_maps):
+    def step_core(i, state, bl_t, bd_t, dsym_t, lit_t, valid_t,
+                  tile_block, tile_nbytes, blk_oh, byte_values,
+                  ll_maps, d_maps):
         body = make_body(bl_t, bd_t, dsym_t, lit_t, valid_t,
                          tile_block, tile_nbytes, blk_oh,
                          byte_values, ll_maps, d_maps)
         return body(i, state)
 
-    finish_j = jax.jit(finish)
+    if mesh is None:
+        step = jax.jit(step_core)
+        finish_j = jax.jit(finish)
+    else:
+        step = jax.jit(smap(step_core,
+                            in_specs=(P(), STATE_SPECS) + TENS_SPECS,
+                            out_specs=STATE_SPECS))
+        finish_j = jax.jit(smap(finish, in_specs=(STATE_SPECS,),
+                                out_specs=OUT_SPECS))
 
     def run_all(bl_t, bd_t, dsym_t, lit_t, valid_t,
                 tile_block, tile_nbytes, blk_oh,
@@ -263,7 +303,10 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
         tens = (bl_t, bd_t, dsym_t, lit_t, valid_t,
                 tile_block, tile_nbytes, blk_oh, byte_values,
                 ll_maps, d_maps)
-        state = init_state(seed_ll, seed_d)
+        # Host-loop path: the state crosses the shard_map boundary, so
+        # build it at GLOBAL shape (the specs shard it per device).
+        g_total = ngroups * (mesh.size if mesh is not None else 1)
+        state = init_state(seed_ll, seed_d, g_total)
         for i in range(int(n_iter)):
             state = step(jnp.int32(i), state, *tens)
         return finish_j(state)
@@ -281,9 +324,12 @@ class FusedSqueeze:
     """
 
     def __init__(self, data: np.ndarray, masters,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, mesh=None,
+                 axis: str = "blocks"):
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
+        self.mesh = mesh
+        self.axis = axis
         self.data = data
         self.masters = [(int(s), int(e), [int(b) for b in bb])
                         for (s, e, bb) in masters]
@@ -320,6 +366,11 @@ class FusedSqueeze:
             self.nb_pad *= 2
         self.nt = len(tile_start)
         self.ngroups = max(1, -(-self.nt // LANES))
+        if mesh is not None:
+            # Pad to a device multiple: empty groups shard cleanly and
+            # contribute nothing (blk_oh rows are zero).
+            d = mesh.size
+            self.ngroups = -(-self.ngroups // d) * d
         pad = self.ngroups * LANES - self.nt
         self.tile_start = np.array(tile_start + [0] * pad, np.int32)
         self.tile_nbytes = np.array(tile_nbytes + [0] * pad, np.int32)
@@ -414,15 +465,20 @@ class FusedSqueeze:
         """
         if fetch_cap is None:
             fetch_cap = TILE // 2
+        # Under a mesh the Pallas kernels and run_all body see the
+        # per-device group count; shard_map splits the group axis.
+        g_local = (self.ngroups // self.mesh.size
+                   if self.mesh is not None else self.ngroups)
         scan = scan_kernel.make_scan(TILE, LANES, KBP,
                                      interpret=self._interpret,
-                                     groups=self.ngroups)
+                                     groups=g_local)
         traceback = scan_kernel.make_traceback(TILE, LANES,
                                                interpret=self._interpret,
-                                               groups=self.ngroups)
-        run_all = _make_run_all(scan, traceback, self.ngroups, self.nb_pad,
+                                               groups=g_local)
+        run_all = _make_run_all(scan, traceback, g_local, self.nb_pad,
                                 self._nv, fetch_cap,
-                                interpret=self._interpret)
+                                interpret=self._interpret,
+                                mesh=self.mesh, axis=self.axis)
 
         sll = np.zeros((self.nb_pad, spec.NUM_LL), np.int32)
         sd = np.zeros((self.nb_pad, spec.NUM_D), np.int32)

@@ -35,6 +35,7 @@ and falls back to the exact native engine on the rare failure.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +56,9 @@ RECENT_LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 48, 64)
 # Breakpoint slots per position in the condensed sublen table.  8 slots
 # match the reference's own sublen cache (util.h:68-74); dropping an
 # interior breakpoint only widens the distance used for its range.
-MAX_BP = 8
+MAX_BP = int(os.environ.get("ZT_MAX_BP", "8"))
+# Exact greedy-doubling refinement rounds (top-K candidates per position).
+REFINE_ROUNDS = int(os.environ.get("ZT_REFINE", "2"))
 
 # Polynomial rolling-hash bases (odd, so powers never vanish mod 2^32).
 # Two independent families: sorts and grouping use _P; every equality
@@ -280,15 +283,15 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     dist = jnp.concatenate(dist_parts, axis=1)
     C = lcp.shape[1]
 
-    # Exact greedy-doubling refinement of the two best candidates per
-    # position (two pairs per position keep the gathers small): the
-    # longest matches are where ladder quantization costs most, and the
-    # runner-up often has a much smaller distance.
+    # Exact greedy-doubling refinement of the top REFINE_ROUNDS
+    # candidates per position (few pairs per position keep the gathers
+    # small): the longest matches are where ladder quantization costs
+    # most, and the runner-up often has a much smaller distance.
     rows1 = jnp.arange(L, dtype=jnp.int32)
     p1 = pos[:, 0]
     cap1 = cap[:, 0]
     lcp_work = lcp
-    for _ in range(2):
+    for _ in range(REFINE_ROUNDS):
         bestk = jnp.argmax(lcp_work, axis=1)
         bdist = dist[rows1, bestk]
         has = lcp_work[rows1, bestk] >= spec.MIN_MATCH

@@ -35,12 +35,14 @@ class _BlockIter:
 
 def lz77_optimal_fused(data: np.ndarray, masters, numiterations: int,
                        greedy_fn, interpret: bool | None = None,
-                       trace=None) -> list[list[LZ77Store]]:
+                       trace=None, mesh=None) -> list[list[LZ77Store]]:
     """Fused-squeeze parses for a batch of masters: ONE device dispatch.
 
     masters: list of (instart, inend, block_bounds).  The full
     iteration control (squeeze.c:446-526) runs on device
     (ops.fused_engine); per-block final stores come back compacted.
+    With `mesh`, the group axis is sharded over the device mesh
+    (shard_map; one psum collective per iteration).
     Returns one list of LZ77Store per master, blocks in order.
     """
     from . import native
@@ -50,7 +52,7 @@ def lz77_optimal_fused(data: np.ndarray, masters, numiterations: int,
     if numiterations < 1:
         raise ValueError("numiterations must be >= 1")
 
-    fs = FusedSqueeze(data, masters, interpret=interpret)
+    fs = FusedSqueeze(data, masters, interpret=interpret, mesh=mesh)
     nb = fs.nb
 
     # Seed stats per block from its greedy parse (squeeze.c:481-482).
