@@ -383,17 +383,49 @@ def _deflate_fused_masters(options: Options, data: np.ndarray, masters,
 
     from .squeeze_batched import lz77_optimal_fused
 
+    from .ops import fused_engine
+
     mesh = local_mesh()
-    batch_n = max(1, int(_os.environ.get("ZT_BATCH_MASTERS", "8")))
-    for i in range(0, len(masters), batch_n):
-        chunk = masters[i:i + batch_n]
+    # Chunk masters by estimated tile count so batches fill the bucketed
+    # lane-group geometry (ngroups rounds up to a power of two; a batch
+    # just over a bucket boundary would waste half its lanes).
+    budget = int(_os.environ.get(
+        "ZT_TILE_BUDGET", str(4 * fused_engine.LANES)))
+    chunks: list[list] = [[]]
+    acc = 0
+    for m in masters:
+        start, end, _fin = m
+        # Upper bound: block splitting adds at most blocksplittingmax-1
+        # partial tiles on top of the unsplit tile count.
+        est = -(-(end - start) // fused_engine.TILE) + 16
+        if chunks[-1] and acc + est > budget:
+            chunks.append([])
+            acc = 0
+        chunks[-1].append(m)
+        acc += est
+    # Software pipeline: while the device runs chunk N's fused loop,
+    # the host splits/seeds chunk N+1 and then emits chunk N-1 — the
+    # serial host work hides under device compute at corpus scale.
+    from .squeeze_batched import fused_collect, fused_dispatch
+
+    pending = None  # (chunk, fs, handle)
+
+    def emit(entry):
+        chunk, fs, handle = entry
+        all_stores = fused_collect(fs, handle, options.numiterations)
+        for (start, end, fin), stores in zip(chunk, all_stores):
+            finish_part(options, fin, stores, out, engine_factory)
+
+    for chunk in chunks:
         specs = [(start, end,
                   split_master(options, data, start, end, greedy_fn))
                  for (start, end, _fin) in chunk]
-        all_stores = lz77_optimal_fused(data, specs, options.numiterations,
-                                        greedy_fn, mesh=mesh)
-        for (start, end, fin), stores in zip(chunk, all_stores):
-            finish_part(options, fin, stores, out, engine_factory)
+        fs, handle = fused_dispatch(data, specs, options.numiterations,
+                                    greedy_fn, mesh=mesh)
+        if pending is not None:
+            emit(pending)
+        pending = (chunk, fs, handle)
+    emit(pending)
 
 
 _LOCAL_MESH = [False]  # False = not yet built; None/Mesh once built

@@ -366,9 +366,16 @@ class FusedSqueeze:
             self.nb_pad *= 2
         self.nt = len(tile_start)
         self.ngroups = max(1, -(-self.nt // LANES))
+        # Bucket to a power of two: each distinct group count is a fresh
+        # multi-minute Pallas compile on the remote backend, so the
+        # kernel geometry set must stay log-bounded.  Padded groups are
+        # empty lanes (zero blk_oh) — wasted grid steps, never wrong.
+        g = 1
+        while g < self.ngroups:
+            g *= 2
+        self.ngroups = g
         if mesh is not None:
-            # Pad to a device multiple: empty groups shard cleanly and
-            # contribute nothing (blk_oh rows are zero).
+            # Also a device multiple: empty groups shard cleanly.
             d = mesh.size
             self.ngroups = -(-self.ngroups // d) * d
         pad = self.ngroups * LANES - self.nt
@@ -463,6 +470,15 @@ class FusedSqueeze:
         Raises FetchOverflow if any lane's path exceeds fetch_cap rows
         (caller retries with fetch_cap=TILE).
         """
+        return self.collect(self.dispatch(seed_ll, seed_d, numiterations))
+
+    def dispatch(self, seed_ll: np.ndarray, seed_d: np.ndarray,
+                 numiterations: int, fetch_cap: int | None = None):
+        """Queue the device loop; returns an opaque handle for collect().
+
+        Dispatch is async — the caller can do host work (splitting,
+        emission of a previous batch) while the device runs.
+        """
         if fetch_cap is None:
             fetch_cap = TILE // 2
         # Under a mesh the Pallas kernels and run_all body see the
@@ -486,15 +502,26 @@ class FusedSqueeze:
         sd[:self.nb] = seed_d
         ll_maps, d_maps = costmodel.randomize_maps(MAX_EVENTS)
 
-        best_cost, best_sll, best_sd, nsym, packed = run_all(
+        out = run_all(
             *self._prep, self._tile_block_d, self._tile_nbytes_d,
             self._blk_oh, jnp.asarray(sll), jnp.asarray(sd),
             self._byte_values, jnp.asarray(np.asarray(ll_maps)),
             jnp.asarray(np.asarray(d_maps)), jnp.int32(numiterations))
+        return (out, seed_ll, seed_d, numiterations, fetch_cap)
+
+    def collect(self, handle):
+        """Block on a dispatch() handle and decode the parses."""
+        ((best_cost, best_sll, best_sd, nsym, packed),
+         seed_ll, seed_d, numiterations, fetch_cap) = handle
 
         nsym_h = np.asarray(nsym).reshape(-1)        # (G*LANES,)
         if (nsym_h[:self.nt] > fetch_cap).any():
-            raise FetchOverflow()
+            if fetch_cap >= TILE:
+                raise FetchOverflow()
+            # Dense parses (incompressible data): retry with full fetch.
+            return self.collect(self.dispatch(seed_ll, seed_d,
+                                              numiterations,
+                                              fetch_cap=TILE))
         packed_h = np.asarray(packed)                # (G, fetch_cap, LANES)
         best_cost = np.asarray(best_cost)[:self.nb]
         best_sll = np.asarray(best_sll)[:self.nb]

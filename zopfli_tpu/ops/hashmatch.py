@@ -59,6 +59,11 @@ RECENT_LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 48, 64)
 MAX_BP = int(os.environ.get("ZT_MAX_BP", "8"))
 # Exact greedy-doubling refinement rounds (top-K candidates per position).
 REFINE_ROUNDS = int(os.environ.get("ZT_REFINE", "2"))
+# Exact match lengths for every distance 1..SHORT_DISTS (vectorized
+# equality runs, no hashing): the cheapest distances in the cost model
+# get exact sublen entries, and d=1 covers same-byte runs (the
+# reference's hash.c:128-136 second-hash mechanism).
+SHORT_DISTS = int(os.environ.get("ZT_SHORT_DISTS", "16"))
 
 # Polynomial rolling-hash bases (odd, so powers never vanish mod 2^32).
 # Two independent families: sorts and grouping use _P; every equality
@@ -279,20 +284,51 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     ln_parts.append(jnp.minimum(ln_r, cap.T).T)
     dist_parts.append(dist_r.T)
 
+    # Exact short-distance candidates: for d = 1..SHORT_DISTS the match
+    # length at p is the run of data[i] == data[i-d] starting at p —
+    # one compare + one suffix-min per distance, no hashing, exact.
+    if SHORT_DISTS:
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        x = data_padded
+        ln_s = []
+        for d in range(1, SHORT_DISTS + 1):
+            eq = jnp.concatenate(
+                [jnp.zeros(d, bool), x[d:] == x[:-d]])
+            marked = jnp.where(eq, n, iota_n)
+            nxt_false = -jax.lax.cummax(-marked[::-1])[::-1]
+            runlen = nxt_false - iota_n          # 0 where eq is False
+            # Source must be a real (halo) byte: p - d >= min_pos.
+            ok = iota_n - d >= min_pos
+            ln_s.append(jnp.where(ok, runlen, 0)[instart:instart + L])
+        ln_sd = jnp.stack(ln_s, axis=1)           # (L, SHORT_DISTS)
+        ln_parts.append(jnp.minimum(ln_sd, cap))
+        dist_parts.append(jnp.broadcast_to(
+            jnp.arange(1, SHORT_DISTS + 1, dtype=jnp.int32)[None, :],
+            (L, SHORT_DISTS)))
+
     lcp = jnp.concatenate(ln_parts, axis=1)
     dist = jnp.concatenate(dist_parts, axis=1)
     C = lcp.shape[1]
 
-    # Exact greedy-doubling refinement of the top REFINE_ROUNDS
-    # candidates per position (few pairs per position keep the gathers
-    # small): the longest matches are where ladder quantization costs
-    # most, and the runner-up often has a much smaller distance.
+    # Exact greedy-doubling refinement of REFINE_ROUNDS candidates per
+    # position (few pairs per position keep the gathers small).  The
+    # first two rounds take the LONGEST claims (ladder quantization
+    # costs most there); later rounds take the SMALLEST-distance
+    # unrefined claims — their true length often exceeds the rung
+    # (e.g. a length-9 match surfaces as the level-8 recent), and the
+    # skyline turns each extension into exact min-dist entries for the
+    # in-between lengths.
     rows1 = jnp.arange(L, dtype=jnp.int32)
     p1 = pos[:, 0]
     cap1 = cap[:, 0]
     lcp_work = lcp
-    for _ in range(REFINE_ROUNDS):
-        bestk = jnp.argmax(lcp_work, axis=1)
+    for r in range(REFINE_ROUNDS):
+        if r < 2:
+            bestk = jnp.argmax(lcp_work, axis=1)
+        else:
+            dist_work = jnp.where(lcp_work >= spec.MIN_MATCH, dist,
+                                  np.int32(1 << 30))
+            bestk = jnp.argmin(dist_work, axis=1)
         bdist = dist[rows1, bestk]
         has = lcp_work[rows1, bestk] >= spec.MIN_MATCH
         c1 = jnp.where(has, p1 - bdist, 0)
@@ -304,7 +340,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
             ln = jnp.where(fits & (a == b), ln + lvl, ln)
         refined = jnp.maximum(lcp[rows1, bestk], jnp.where(has, ln, 0))
         lcp = lcp.at[rows1, bestk].set(refined)
-        # Mask this slot out so the next round refines the runner-up.
+        # Mask this slot out so the next round picks another candidate.
         lcp_work = lcp_work.at[rows1, bestk].set(0)
 
     # Skyline: sort rows by distance ascending WITH payloads (an argsort

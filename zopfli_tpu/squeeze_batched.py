@@ -45,9 +45,15 @@ def lz77_optimal_fused(data: np.ndarray, masters, numiterations: int,
     (shard_map; one psum collective per iteration).
     Returns one list of LZ77Store per master, blocks in order.
     """
-    from . import native
-    from .ops.fused_engine import FetchOverflow, FusedSqueeze
-    from .ops import fused_engine
+    fs, handle = fused_dispatch(data, masters, numiterations, greedy_fn,
+                                interpret=interpret, mesh=mesh)
+    return fused_collect(fs, handle, numiterations, trace=trace)
+
+
+def fused_dispatch(data: np.ndarray, masters, numiterations: int,
+                   greedy_fn, interpret: bool | None = None, mesh=None):
+    """Async half of lz77_optimal_fused: build + queue the device loop."""
+    from .ops.fused_engine import FusedSqueeze
 
     if numiterations < 1:
         raise ValueError("numiterations must be >= 1")
@@ -56,6 +62,7 @@ def lz77_optimal_fused(data: np.ndarray, masters, numiterations: int,
     nb = fs.nb
 
     # Seed stats per block from its greedy parse (squeeze.c:481-482).
+    # The greedy host loop overlaps the async candidate-build dispatch.
     seed_ll = np.zeros((nb, spec.NUM_LL), np.int64)
     seed_d = np.zeros((nb, spec.NUM_D), np.int64)
     for b, (bs, be) in enumerate(fs.block_bounds):
@@ -65,13 +72,16 @@ def lz77_optimal_fused(data: np.ndarray, masters, numiterations: int,
         seed_ll[b] = st.litlens
         seed_d[b] = st.dists
 
-    try:
-        parses, best_cost, best_sll, best_sd = fs.run(
-            seed_ll, seed_d, numiterations)
-    except FetchOverflow:
-        # Dense parses (incompressible data): retry with full fetch.
-        parses, best_cost, best_sll, best_sd = fs.run(
-            seed_ll, seed_d, numiterations, fetch_cap=fused_engine.TILE)
+    return fs, fs.dispatch(seed_ll, seed_d, numiterations)
+
+
+def fused_collect(fs, handle, numiterations: int,
+                  trace=None) -> list[list[LZ77Store]]:
+    """Blocking half: pull parses, verify, fall back on collisions."""
+    from . import native
+
+    data = fs.data
+    parses, best_cost, best_sll, best_sd = fs.collect(handle)
 
     out: list[list[LZ77Store]] = []
     b = 0
