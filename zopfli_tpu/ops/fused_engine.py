@@ -42,7 +42,9 @@ from . import costmodel, hashmatch, scan_kernel
 KBP = hashmatch.MAX_BP
 TILE = int(os.environ.get("ZT_TILE", "8192"))
 LANES = int(os.environ.get("ZT_LANES", "256"))
-MAX_EVENTS = 18          # randomization events cap (>= numiterations-6)
+TIE_GRID = float(os.environ.get("ZT_TIE_GRID", "128"))  # 0 = off
+MAX_EVENTS = 48          # randomization events cap; replicas start at
+                         # staggered offsets into the same map stream
 LARGE_COST = np.int32(1 << 30)
 
 _LSYM = np.asarray(spec.LENGTH_SYMBOL[3:259], dtype=np.int32)
@@ -121,7 +123,7 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
 
     def make_body(bl_t, bd_t, dsym_t, lit_t, valid_t,
                   tile_block, tile_nbytes, blk_oh,
-                  byte_values, ll_maps, d_maps):
+                  byte_values, ll_maps, d_maps, rep_off):
         # Row-major group-flattened layouts: bl_t/bd_t/dsym_t
         # (G*TILE, KBP, LANES), lit_t/valid_t (G*TILE, LANES);
         # tile_block/tile_nbytes (G, LANES); blk_oh (G, LANES, nb_pad);
@@ -130,9 +132,23 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
         lit_g = lit_t.reshape(G, TILE, LANES)
 
         def one_iteration(stats_ll, stats_d):
-            """DP run under the entropy model of the given stats."""
-            ll_cost_b = costmodel.calculate_entropy(stats_ll)   # (NB, 288)
+            """DP run under the entropy model of the given stats.
+
+            Model costs are quantized to a 1/128-bit grid: per-tile
+            path sums of grid multiples stay EXACT in f32 (tile cost
+            << 2^24/128 bits), so cost ties are real ties and the
+            kernel's relaxation order resolves them toward the longer
+            match — the reference DP's tie behavior (squeeze.c:288-302
+            keeps the earliest relaxation).  Without this, f32 ulp
+            noise breaks true ties randomly and the final exact size
+            pays ~0.1% in scattered histograms.
+            """
+            ll_cost_b = costmodel.calculate_entropy(stats_ll)
             d_cost_b = costmodel.calculate_entropy(stats_d)
+            if TIE_GRID:
+                grid = np.float32(TIE_GRID)
+                ll_cost_b = jnp.round(ll_cost_b * grid) / grid
+                d_cost_b = jnp.round(d_cost_b * grid) / grid
             ll_t = ll_cost_b[tile_block]           # (G, LANES, 288)
             d_t = d_cost_b[tile_block]             # (G, LANES, 32)
             lcost_vec = jnp.transpose(ll_t[:, :, _LSYM]
@@ -200,7 +216,10 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
             next_d = jnp.where(blend, blended_d, d_hist)
 
             stuck = (i > 5) & (cost == last_cost)
-            ecc = jnp.minimum(ec, MAX_EVENTS - 1)
+            # Replica rows draw from a staggered window of the map
+            # stream: each restart explores a different randomization
+            # trajectory (plain restarts converge to the same optimum).
+            ecc = jnp.minimum(ec + rep_off, MAX_EVENTS - 1)
             rnd_ll = jnp.take_along_axis(
                 best_sll, ll_maps[ecc], axis=1).at[:, 256].set(1)
             rnd_d = jnp.take_along_axis(best_sd, d_maps[ecc], axis=1)
@@ -252,7 +271,7 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
         TENS_SPECS = (P(ax, None, None), P(ax, None, None),
                       P(ax, None, None), P(ax, None), P(ax, None),
                       P(ax, None), P(ax, None), P(ax, None, None),
-                      P(), P(), P())
+                      P(), P(), P(), P())
         STATE_SPECS = (P(), P(), P(), P(), P(), P(), P(), P(),
                        P(ax, None, None), P(ax, None, None))
         OUT_SPECS = (P(), P(), P(), P(ax, None), P(ax, None, None))
@@ -264,10 +283,11 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
     if not interpret:
         def run_core(bl_t, bd_t, dsym_t, lit_t, valid_t,
                      tile_block, tile_nbytes, blk_oh,
-                     seed_ll, seed_d, byte_values, ll_maps, d_maps, n_iter):
+                     seed_ll, seed_d, byte_values, ll_maps, d_maps,
+                     rep_off, n_iter):
             body = make_body(bl_t, bd_t, dsym_t, lit_t, valid_t,
                              tile_block, tile_nbytes, blk_oh,
-                             byte_values, ll_maps, d_maps)
+                             byte_values, ll_maps, d_maps, rep_off)
             state = jax.lax.fori_loop(0, n_iter, body,
                                       init_state(seed_ll, seed_d))
             return finish(state)
@@ -276,15 +296,15 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
             return jax.jit(run_core)
         return jax.jit(smap(
             run_core,
-            in_specs=TENS_SPECS[:8] + (P(), P(), P(), P(), P(), P()),
+            in_specs=TENS_SPECS[:8] + (P(), P(), P(), P(), P(), P(), P()),
             out_specs=OUT_SPECS))
 
     def step_core(i, state, bl_t, bd_t, dsym_t, lit_t, valid_t,
                   tile_block, tile_nbytes, blk_oh, byte_values,
-                  ll_maps, d_maps):
+                  ll_maps, d_maps, rep_off):
         body = make_body(bl_t, bd_t, dsym_t, lit_t, valid_t,
                          tile_block, tile_nbytes, blk_oh,
-                         byte_values, ll_maps, d_maps)
+                         byte_values, ll_maps, d_maps, rep_off)
         return body(i, state)
 
     if mesh is None:
@@ -299,10 +319,11 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
 
     def run_all(bl_t, bd_t, dsym_t, lit_t, valid_t,
                 tile_block, tile_nbytes, blk_oh,
-                seed_ll, seed_d, byte_values, ll_maps, d_maps, n_iter):
+                seed_ll, seed_d, byte_values, ll_maps, d_maps,
+                rep_off, n_iter):
         tens = (bl_t, bd_t, dsym_t, lit_t, valid_t,
                 tile_block, tile_nbytes, blk_oh, byte_values,
-                ll_maps, d_maps)
+                ll_maps, d_maps, rep_off)
         # Host-loop path: the state crosses the shard_map boundary, so
         # build it at GLOBAL shape (the specs shard it per device).
         g_total = ngroups * (mesh.size if mesh is not None else 1)
@@ -361,23 +382,53 @@ class FusedSqueeze:
                     p += n
             row += cap
         self.nb = len(self.block_bounds)
-        self.nb_pad = 4
-        while self.nb_pad < self.nb:
-            self.nb_pad *= 2
-        self.nt = len(tile_start)
-        self.ngroups = max(1, -(-self.nt // LANES))
+        nt0 = len(tile_start)
+        ngroups = max(1, -(-nt0 // LANES))
         # Bucket to a power of two: each distinct group count is a fresh
         # multi-minute Pallas compile on the remote backend, so the
         # kernel geometry set must stay log-bounded.  Padded groups are
         # empty lanes (zero blk_oh) — wasted grid steps, never wrong.
         g = 1
-        while g < self.ngroups:
+        while g < ngroups:
             g *= 2
-        self.ngroups = g
+        ngroups = g
         if mesh is not None:
             # Also a device multiple: empty groups shard cleanly.
             d = mesh.size
-            self.ngroups = -(-self.ngroups // d) * d
+            ngroups = -(-ngroups // d) * d
+        self.ngroups = ngroups
+
+        # Replica restarts: the bucketed geometry leaves free lanes; fill
+        # them with COPIES of blocks seeded differently (dispatch
+        # perturbs replica seeds).  Each replica is an independent
+        # restart of the squeeze search — collect() keeps the best parse
+        # per original block by exact cost.  Extra search at near-zero
+        # marginal kernel time (the padded grid steps run either way).
+        self.replica_of = list(range(self.nb))
+        block_tiles = {}
+        for t, b in enumerate(tile_block):
+            block_tiles.setdefault(b, []).append(t)
+        free = ngroups * LANES - nt0
+        order = sorted(range(self.nb),
+                       key=lambda b: -len(block_tiles.get(b, [])))
+        for _round in range(int(os.environ.get("ZT_REPLICAS", "2"))):
+            for b in order:
+                ts = block_tiles.get(b, [])
+                if not ts or len(ts) > free:
+                    continue
+                rb = len(self.replica_of)
+                self.replica_of.append(b)
+                for t in ts:
+                    tile_start.append(tile_start[t])
+                    tile_nbytes.append(tile_nbytes[t])
+                    tile_block.append(rb)
+                    tile_abs.append(tile_abs[t])
+                free -= len(ts)
+        self.nb_total = len(self.replica_of)
+        self.nb_pad = 4
+        while self.nb_pad < self.nb_total:
+            self.nb_pad *= 2
+        self.nt = len(tile_start)
         pad = self.ngroups * LANES - self.nt
         self.tile_start = np.array(tile_start + [0] * pad, np.int32)
         self.tile_nbytes = np.array(tile_nbytes + [0] * pad, np.int32)
@@ -500,13 +551,35 @@ class FusedSqueeze:
         sd = np.zeros((self.nb_pad, spec.NUM_D), np.int32)
         sll[:self.nb] = seed_ll
         sd[:self.nb] = seed_d
+        # Replica seeds: perturbed copies of the original block's seed
+        # stats (restart diversification; replica 0 of each block keeps
+        # the reference-faithful greedy seed).
+        for rb in range(self.nb, self.nb_total):
+            b = self.replica_of[rb]
+            rng = np.random.default_rng(0xA5F00D + rb)
+            for dst, src in ((sll, seed_ll), (sd, seed_d)):
+                row = src[b].astype(np.int32).copy()
+                mask = rng.random(row.shape[0]) < (1.0 / 3.0)
+                take = rng.integers(0, row.shape[0], row.shape[0])
+                row[mask] = src[b][take[mask]]
+                dst[rb] = row
+            sll[rb, 256] = 1
         ll_maps, d_maps = costmodel.randomize_maps(MAX_EVENTS)
+
+        # Staggered randomization-stream offsets per replica ordinal.
+        rep_off = np.zeros(self.nb_pad, np.int32)
+        seen: dict[int, int] = {}
+        for rb in range(self.nb, self.nb_total):
+            b = self.replica_of[rb]
+            seen[b] = seen.get(b, 0) + 1
+            rep_off[rb] = 9 * seen[b]
 
         out = run_all(
             *self._prep, self._tile_block_d, self._tile_nbytes_d,
             self._blk_oh, jnp.asarray(sll), jnp.asarray(sd),
             self._byte_values, jnp.asarray(np.asarray(ll_maps)),
-            jnp.asarray(np.asarray(d_maps)), jnp.int32(numiterations))
+            jnp.asarray(np.asarray(d_maps)), jnp.asarray(rep_off),
+            jnp.int32(numiterations))
         return (out, seed_ll, seed_d, numiterations, fetch_cap)
 
     def collect(self, handle):
@@ -523,15 +596,13 @@ class FusedSqueeze:
                                               numiterations,
                                               fetch_cap=TILE))
         packed_h = np.asarray(packed)                # (G, fetch_cap, LANES)
-        best_cost = np.asarray(best_cost)[:self.nb]
-        best_sll = np.asarray(best_sll)[:self.nb]
-        best_sd = np.asarray(best_sd)[:self.nb]
+        cost_all = np.asarray(best_cost)[:self.nb_total]
+        best_sll = np.asarray(best_sll)
+        best_sd = np.asarray(best_sd)
 
-        parses = []
-        t = 0
-        for b in range(self.nb):
+        def decode(tiles):
             lit_parts, dist_parts = [], []
-            while t < self.nt and self.tile_block[t] == b:
+            for t in tiles:
                 g, lane = divmod(t, LANES)
                 k = int(nsym_h[t])
                 rows = packed_h[g, :k, lane].astype(np.int64)
@@ -545,13 +616,26 @@ class FusedSqueeze:
                                           bytes_at).astype(np.uint16))
                 dist_parts.append(np.where(pl >= spec.MIN_MATCH, pd,
                                            0).astype(np.uint16))
-                t += 1
             if lit_parts:
-                parses.append((np.concatenate(lit_parts),
-                               np.concatenate(dist_parts)))
-            else:
-                parses.append((np.zeros(0, np.uint16),
-                               np.zeros(0, np.uint16)))
+                return (np.concatenate(lit_parts),
+                        np.concatenate(dist_parts))
+            return (np.zeros(0, np.uint16), np.zeros(0, np.uint16))
+
+        block_tiles: dict[int, list[int]] = {}
+        for t in range(self.nt):
+            block_tiles.setdefault(int(self.tile_block[t]), []).append(t)
+
+        # Best replica per original block by exact device cost.
+        chosen = list(range(self.nb))
+        for rb in range(self.nb, self.nb_total):
+            b = self.replica_of[rb]
+            if cost_all[rb] < cost_all[chosen[b]]:
+                chosen[b] = rb
+        parses = [decode(block_tiles.get(chosen[b], []))
+                  for b in range(self.nb)]
+        best_cost = cost_all[chosen]
+        best_sll = best_sll[chosen]
+        best_sd = best_sd[chosen]
         return parses, best_cost, best_sll, best_sd
 
     def verify_parse(self, b: int, litlens: np.ndarray,

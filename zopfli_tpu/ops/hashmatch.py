@@ -197,6 +197,24 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     vprev = jnp.take(h2flat, adj_idx * n + sidx_prev)
     adj_lvl = jnp.where(vcur == vprev, adj_lvl, np.int16(0))
 
+    # Make every adjacent-pair lcp EXACT: the true lcp lies in
+    # [rung, next_rung) and rung gaps are <= 32, so six doubling
+    # levels extend each confirmed rung to the exact shared-prefix
+    # length (12 n-sized gathers total).  lcp obeys the ultrametric
+    # inequality lcp(a,c) >= min(lcp(a,b), lcp(b,c)) in ANY order, so
+    # the running-min neighbor chains below stay valid and get
+    # near-exact lengths for all 2J neighbors at once — what used to
+    # need a per-candidate refinement round each.
+    ln_adj = adj_lvl.astype(jnp.int32)
+    for lvl in (32, 16, 8, 4, 2, 1):
+        fits = ln_adj >= spec.MIN_MATCH
+        a = jnp.take(h[lvl], jnp.where(fits, sidx + ln_adj, 0),
+                     mode="clip")
+        b = jnp.take(h[lvl], jnp.where(fits, sidx_prev + ln_adj, 0),
+                     mode="clip")
+        ln_adj = jnp.where(fits & (a == b), ln_adj + lvl, ln_adj)
+    adj_lvl = jnp.minimum(ln_adj, spec.MAX_MATCH).astype(jnp.int16)
+
     # Neighbor candidates: positions j slots away in suffix order, with
     # pairwise level = running min of adjacent levels (transitivity).
     cand_list = []
@@ -333,7 +351,14 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         has = lcp_work[rows1, bestk] >= spec.MIN_MATCH
         c1 = jnp.where(has, p1 - bdist, 0)
         ln = jnp.zeros(L, jnp.int32)
-        for lvl in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        if r < 2:
+            levels = (256, 128, 64, 32, 16, 8, 4, 2, 1)
+        else:
+            # Min-dist rounds start from the already-known rung and
+            # only need a short extension: half the gathers.
+            ln = lcp_work[rows1, bestk]
+            levels = (32, 16, 8, 4, 2, 1)
+        for lvl in levels:
             fits = has & (ln + lvl <= cap1)
             a = jnp.take(h[lvl], jnp.where(fits, p1 + ln, 0), mode="clip")
             b = jnp.take(h[lvl], jnp.where(fits, c1 + ln, 0), mode="clip")
