@@ -71,3 +71,29 @@ def test_split_reduces_cost(rng):
     split_total = sum(blocks.estimate_cost(store, bounds[i], bounds[i + 1])
                       for i in range(len(bounds) - 1))
     assert split_total < whole
+
+
+def test_device_split_matches_host(rng):
+    """ops.devsplit reproduces the host (reference-parity) splitter
+    bit-for-bit on diverse inputs."""
+    from zopfli_tpu import blocks as blk
+    from zopfli_tpu.deflate import Options, default_greedy
+    from zopfli_tpu.lz77 import LZ77Store
+    from zopfli_tpu.ops.devsplit import block_split_lz77_device
+
+    greedy = default_greedy(Options())
+    words = [b"alpha ", b"beta ", b"gamma ", b"delta "]
+    text = b"".join(words[i] for i in rng.integers(0, 4, 30000))
+    cases = [
+        np.frombuffer(text[:60000], np.uint8),
+        np.frombuffer((b"\x00" * 5000 + text[:20000] + b"z" * 4000), np.uint8),
+        rng.integers(0, 256, 12000, dtype=np.uint8),
+        np.frombuffer(text[:300], np.uint8),            # tiny: no split
+    ]
+    for data in cases:
+        gl, gd = greedy(data, 0, len(data))
+        store = LZ77Store(data, gl, gd, 0)
+        host = blk.block_split_lz77(store, 15)
+        dev = block_split_lz77_device(gl.astype(np.int32),
+                                      gd.astype(np.int32), 15)
+        assert host == dev, (host, dev)

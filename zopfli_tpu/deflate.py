@@ -192,12 +192,33 @@ def add_lz77_block_auto_type(options: Options, final: bool, store: LZ77Store,
 
 def split_master(options: Options, data: np.ndarray, instart: int,
                  inend: int, greedy_fn) -> list[int]:
-    """Host block-split of one master -> bounds incl. endpoints."""
-    if options.blocksplitting:
+    """Block-split of one master -> bounds incl. endpoints.
+
+    The TPU engine runs the split search on device (ops.devsplit, an
+    exact reproduction of ZopfliBlockSplitLZ77 — differential-tested
+    against the host splitter); other engines use the host splitter.
+    Set ZT_DEVICE_SPLIT=0/1 to override.
+    """
+    import os as _os
+
+    if not options.blocksplitting:
+        return [instart, inend]
+    use_dev = _os.environ.get("ZT_DEVICE_SPLIT")
+    if use_dev is None:
+        use_dev = "1" if options.engine == "tpu" else "0"
+    if use_dev == "1":
+        from .lz77 import LZ77Store
+        from .ops.devsplit import block_split_lz77_device
+
+        litlens, dists = greedy_fn(data, instart, inend)
+        store = LZ77Store(data, litlens, dists, instart)
+        lz77_points = block_split_lz77_device(
+            litlens.astype(np.int32), dists.astype(np.int32),
+            options.blocksplittingmax)
+        pts = [int(store.pos[p]) for p in lz77_points]
+    else:
         pts = blocks.block_split(data, instart, inend,
                                  options.blocksplittingmax, greedy_fn)
-    else:
-        pts = []
     return [instart] + pts + [inend]
 
 

@@ -57,8 +57,18 @@ RECENT_LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 48, 64)
 # match the reference's own sublen cache (util.h:68-74); dropping an
 # interior breakpoint only widens the distance used for its range.
 MAX_BP = int(os.environ.get("ZT_MAX_BP", "8"))
-# Exact greedy-doubling refinement rounds (top-K candidates per position).
-REFINE_ROUNDS = int(os.environ.get("ZT_REFINE", "2"))
+# Exact greedy-doubling refinement plan: one char per round, 'L' =
+# refine the longest unrefined claim (full doubling ladder), 'D' =
+# refine the smallest-distance unrefined claim (short ladder from its
+# rung).  With exact adjacent lcps the neighbor candidates are already
+# exact, so 'D' rounds (recents) carry most of the remaining value.
+# ZT_REFINE=<int> is accepted as legacy: n -> 'L'*min(n,2) + 'D'*(n-2).
+_refine_env = os.environ.get("ZT_REFINE", "LDD")
+if _refine_env.isdigit():
+    _n = int(_refine_env)
+    REFINE_PLAN = "L" * min(_n, 2) + "D" * max(_n - 2, 0)
+else:
+    REFINE_PLAN = _refine_env.upper()
 # Exact match lengths for every distance 1..SHORT_DISTS (vectorized
 # equality runs, no hashing): the cheapest distances in the cost model
 # get exact sublen entries, and d=1 covers same-byte runs (the
@@ -340,8 +350,8 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     p1 = pos[:, 0]
     cap1 = cap[:, 0]
     lcp_work = lcp
-    for r in range(REFINE_ROUNDS):
-        if r < 2:
+    for kind in REFINE_PLAN:
+        if kind == "L":
             bestk = jnp.argmax(lcp_work, axis=1)
         else:
             dist_work = jnp.where(lcp_work >= spec.MIN_MATCH, dist,
@@ -351,7 +361,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         has = lcp_work[rows1, bestk] >= spec.MIN_MATCH
         c1 = jnp.where(has, p1 - bdist, 0)
         ln = jnp.zeros(L, jnp.int32)
-        if r < 2:
+        if kind == "L":
             levels = (256, 128, 64, 32, 16, 8, 4, 2, 1)
         else:
             # Min-dist rounds start from the already-known rung and
