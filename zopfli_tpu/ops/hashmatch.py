@@ -56,7 +56,7 @@ RECENT_LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 48, 64)
 # Breakpoint slots per position in the condensed sublen table.  8 slots
 # match the reference's own sublen cache (util.h:68-74); dropping an
 # interior breakpoint only widens the distance used for its range.
-MAX_BP = int(os.environ.get("ZT_MAX_BP", "8"))
+MAX_BP = int(os.environ.get("ZT_MAX_BP", "12"))
 # Exact greedy-doubling refinement plan: one char per round, 'L' =
 # refine the longest unrefined claim (full doubling ladder), 'D' =
 # refine the smallest-distance unrefined claim (short ladder from its
