@@ -65,8 +65,11 @@ def _read_capped(path: str, cap: int) -> bytes:
 
 def _synthetic(name: str, cap: int) -> bytes:
     import numpy as np
+    import zlib
 
-    rng = np.random.default_rng(abs(hash(name)) % (2**32))
+    # zlib.crc32, not hash(): Python string hashes are salted per
+    # process and would make the "deterministic" corpus content vary.
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     if name == "log_repetitive":
         lines = []
         svcs = [b"kernel", b"sshd", b"cron", b"systemd", b"nginx"]

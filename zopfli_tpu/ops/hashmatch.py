@@ -46,6 +46,15 @@ from .. import spec
 # Ladder of prefix lengths (quantization grid for match lengths).
 LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48,
           56, 64, 80, 96, 112, 128, 160, 192, 224, 256)
+# Levels used as LSD sort keys for the approximate-suffix order (the
+# sorts dominate candidate-build time; adjacency still checks ALL
+# LEVELS and extends exactly, so skipping sort keys only degrades
+# neighbor grouping).  Default: all.  ZT_SORT_LEVELS=coarse halves the
+# rounds (keeps 3 and the even-indexed levels).
+if os.environ.get("ZT_SORT_LEVELS", "all") == "coarse":
+    SORT_LEVELS = (3, 5, 7, 10, 14, 20, 28, 40, 56, 80, 112, 160, 224)
+else:
+    SORT_LEVELS = LEVELS
 # Suffix-order neighbors taken per side.
 NEIGHBORS = 8
 # Levels that get a dedicated most-recent-occurrence candidate (the
@@ -178,7 +187,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # compile; 26 small sorts compile and run fast — and packing two
     # truncated levels per round measurably hurts neighbor quality).
     sidx = jnp.arange(n, dtype=jnp.int32)
-    for lvl in reversed(LEVELS):
+    for lvl in reversed(SORT_LEVELS):
         k = h[lvl][sidx]
         _, sidx = jax.lax.sort((k, sidx), num_keys=1, is_stable=True)
     hstack = jnp.stack([h[lvl] for lvl in LEVELS])   # (nl, n)

@@ -101,6 +101,18 @@ def choose_color_encoding(img: np.ndarray):
     # Transparent color key possible? (single fully-transparent color,
     # used instead of an alpha channel when pixels are otherwise opaque)
     # Palette if small enough and pays off vs raw encoding.
+    # Grayscale bit depth if representable (None otherwise).
+    grey_bd = None
+    if grey and opaque:
+        g = img[:, :, 0]
+        for bd in (1, 2, 4):
+            factor = {1: 255, 2: 85, 4: 17}[bd]
+            if (g % factor == 0).all() and (g // factor < (1 << bd)).all():
+                grey_bd = bd
+                break
+        else:
+            grey_bd = 8
+
     if ncolors <= 256:
         pal_bd = 8
         for bd in (1, 2, 4):
@@ -109,9 +121,11 @@ def choose_color_encoding(img: np.ndarray):
                 break
         palette_bytes = ncolors * 3 + (0 if opaque else ncolors) + 8
         raw_channels = (1 if grey else 3) + (0 if opaque else 1)
-        # lodepng heuristic: palette only when it actually saves bits.
-        if palette_bytes < w * h * raw_channels and not (
-                grey and opaque and pal_bd >= 8):
+        # lodepng heuristics: palette only when it actually saves bits,
+        # and grayscale wins when its depth is <= the palette's
+        # (lodepng.cpp auto_choose_color: gray avoids the PLTE chunk).
+        if (palette_bytes < w * h * raw_channels
+                and not (grey_bd is not None and grey_bd <= pal_bd)):
             order = np.argsort(first_idx)
             ordered = colors[order]
             lut = np.empty(ncolors, dtype=np.int64)
