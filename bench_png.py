@@ -117,7 +117,11 @@ def main() -> None:
             ours = optimize(png, opts)
             secs = time.perf_counter() - t0
             assert _pixels_equal(png, ours), f"pixels differ: {name}"
-            ours_size = len(ours)
+            # The reference binary keeps the ORIGINAL file when the
+            # recompressed one is bigger (zopflipng_bin.cc:404-457);
+            # our CLI does the same — mirror it here so both columns
+            # measure the binary surface.
+            ours_size = min(len(ours), len(png))
         except Exception as exc:  # noqa: BLE001 — keep the table going
             ours_size, secs = -1, 0.0
             print(f"FAIL {name}: {exc}", flush=True)
