@@ -72,6 +72,9 @@ MAX_BP = int(os.environ.get("ZT_MAX_BP", "12"))
 # rung).  With exact adjacent lcps the neighbor candidates are already
 # exact, so 'D' rounds (recents) carry most of the remaining value.
 # ZT_REFINE=<int> is accepted as legacy: n -> 'L'*min(n,2) + 'D'*(n-2).
+# 'LDD' measures best on the mixed 1 MiB benchmark; 'LRD'/'LRDD' help
+# log-like periodic data (fewer missing just-above-rung lengths) at a
+# small cost on text.
 _refine_env = os.environ.get("ZT_REFINE", "LDD")
 if _refine_env.isdigit():
     _n = int(_refine_env)
@@ -358,10 +361,28 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     rows1 = jnp.arange(L, dtype=jnp.int32)
     p1 = pos[:, 0]
     cap1 = cap[:, 0]
+    # The short-distance columns are exact by construction — exclude
+    # them from refinement candidate selection, or the min-dist rounds
+    # burn their picks on d<=SHORT_DISTS entries and the rung-quantized
+    # recents (e.g. the line-period matches of log-like data, whose
+    # true lengths sit just above a rung) never get extended.
     lcp_work = lcp
+    if SHORT_DISTS:
+        selectable = np.ones(C, bool)
+        selectable[C - SHORT_DISTS:] = False
+        lcp_work = jnp.where(jnp.asarray(selectable)[None, :], lcp, 0)
+    n_neigh = 2 * NEIGHBORS
     for kind in REFINE_PLAN:
         if kind == "L":
             bestk = jnp.argmax(lcp_work, axis=1)
+        elif kind == "R":
+            # Longest RECENT claim: recents are the min-dist occurrence
+            # per rung, so this extends the highest rung reachable at a
+            # small distance (log-period matches sit just above it).
+            rsel = np.zeros(C, bool)
+            rsel[n_neigh:n_neigh + len(RECENT_LEVELS)] = True
+            bestk = jnp.argmax(
+                jnp.where(jnp.asarray(rsel)[None, :], lcp_work, 0), axis=1)
         else:
             dist_work = jnp.where(lcp_work >= spec.MIN_MATCH, dist,
                                   np.int32(1 << 30))
