@@ -13,7 +13,7 @@ from zopfli_tpu.ops import hashmatch
 from zopfli_tpu.ops.engine import TpuBlockEngine
 
 
-def _build(data: bytes):
+def _build(data: bytes, **knobs):
     """Candidate tables for a whole small buffer as one block."""
     n = len(data)
     cap = 16384
@@ -25,33 +25,51 @@ def _build(data: bytes):
     buf[hashmatch.PREFIX:hashmatch.PREFIX + n] = np.frombuffer(data, np.uint8)
     bp_len, bp_dist, best_len = hashmatch.build_candidates(
         jnp.asarray(buf), cap, jnp.int32(hashmatch.PREFIX),
-        jnp.int32(hashmatch.PREFIX + n))
+        jnp.int32(hashmatch.PREFIX + n), **knobs)
     return (np.asarray(bp_len)[:n], np.asarray(bp_dist)[:n],
             np.asarray(best_len)[:n])
+
+
+def _assert_valid_candidates(data: bytes, bp_len, bp_dist, name=""):
+    """Every claimed (length, dist) must reproduce its bytes exactly."""
+    arr = np.frombuffer(data, np.uint8)
+    n = len(data)
+    rows, cols = np.nonzero(bp_len)
+    ls = bp_len[rows, cols].astype(np.int64)
+    ds = bp_dist[rows, cols].astype(np.int64)
+    assert (ls >= 3).all() and (ls <= np.minimum(258, n - rows)).all()
+    assert (ds >= 1).all() and (ds <= rows).all(), name
+    tot = int(ls.sum())
+    offs = np.arange(tot) - np.repeat(np.cumsum(ls) - ls, ls)
+    dsts = np.repeat(rows, ls) + offs
+    srcs = np.repeat(rows - ds, ls) + offs
+    assert np.array_equal(arr[dsts], arr[srcs]), name
+    prev = np.where(bp_len[:, :-1] > 0, bp_len[:, :-1], -1)
+    nxt = bp_len[:, 1:]
+    assert ((nxt == 0) | (nxt > prev)).all(), name
 
 
 def test_candidates_are_real_matches(corpus):
     for name in ["foobar", "text", "runs", "alternating", "random_3000"]:
         data = corpus[name]
-        arr = np.frombuffer(data, np.uint8)
-        bp_len, bp_dist, best_len = _build(data)
-        n = len(data)
-        rows, cols = np.nonzero(bp_len)
-        ls = bp_len[rows, cols].astype(np.int64)
-        ds = bp_dist[rows, cols].astype(np.int64)
-        assert (ls >= 3).all() and (ls <= np.minimum(258, n - rows)).all()
-        assert (ds >= 1).all() and (ds <= rows).all(), name
-        # Flatten every claimed match into one gather-compare.
-        tot = int(ls.sum())
-        offs = np.arange(tot) - np.repeat(np.cumsum(ls) - ls, ls)
-        dsts = np.repeat(rows, ls) + offs
-        srcs = np.repeat(rows - ds, ls) + offs
-        assert np.array_equal(arr[dsts], arr[srcs]), name
-        # Breakpoint lengths strictly increasing within a row (among
-        # used slots).
-        prev = np.where(bp_len[:, :-1] > 0, bp_len[:, :-1], -1)
-        nxt = bp_len[:, 1:]
-        assert ((nxt == 0) | (nxt > prev)).all(), name
+        bp_len, bp_dist, _ = _build(data)
+        _assert_valid_candidates(data, bp_len, bp_dist, name)
+
+
+def test_candidate_knob_variants_valid(corpus):
+    """Every knob combination must still produce only real matches."""
+    variants = [
+        dict(sort_levels=hashmatch._SORT_PRESETS["short"]),
+        dict(recent_k2_min=16, refine_plan="L2D"),
+        dict(sort_levels=hashmatch._SORT_PRESETS["coarse"],
+             recent_k2_min=16, refine_plan="LR2D", max_bp=8),
+    ]
+    for name in ["text", "runs", "random_3000"]:
+        data = corpus[name]
+        for kn in variants:
+            bp_len, bp_dist, _ = _build(data, **kn)
+            _assert_valid_candidates(data, bp_len, bp_dist,
+                                     f"{name}:{kn}")
 
 
 def test_candidate_quality_vs_native(corpus):

@@ -456,7 +456,8 @@ class FusedSqueeze:
             bl, bd, _ = hashmatch.build_candidates(
                 jnp.asarray(buf), cap,
                 jnp.int32(hashmatch.PREFIX - prefix_len),
-                jnp.int32(hashmatch.PREFIX + L))
+                jnp.int32(hashmatch.PREFIX + L),
+                max_bp=KBP, **hashmatch.current_knobs())
             bp_len_parts.append(bl)
             bp_dist_parts.append(bd)
             dblock = np.zeros(cap, dtype=np.int32)

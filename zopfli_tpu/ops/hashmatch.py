@@ -49,12 +49,19 @@ LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48,
 # Levels used as LSD sort keys for the approximate-suffix order (the
 # sorts dominate candidate-build time; adjacency still checks ALL
 # LEVELS and extends exactly, so skipping sort keys only degrades
-# neighbor grouping).  Default: all.  ZT_SORT_LEVELS=coarse halves the
-# rounds (keeps 3 and the even-indexed levels).
-if os.environ.get("ZT_SORT_LEVELS", "all") == "coarse":
-    SORT_LEVELS = (3, 5, 7, 10, 14, 20, 28, 40, 56, 80, 112, 160, 224)
-else:
-    SORT_LEVELS = LEVELS
+# neighbor grouping).  Named presets (ZT_SORT_LEVELS):
+#   all     every LEVELS entry (26 rounds)
+#   coarse  every other entry (13 rounds)
+#   short   thinned AND capped at 64 (9 rounds): beyond the top sort
+#           key, grouping relies on stability + the exact adjacent-lcp
+#           doubling extension, which always runs to MAX_MATCH.
+_SORT_PRESETS = {
+    "all": LEVELS,
+    "coarse": (3, 5, 7, 10, 14, 20, 28, 40, 56, 80, 112, 160, 224),
+    "short": (3, 4, 6, 8, 12, 16, 24, 40, 64),
+    "short12": (3, 4, 5, 6, 8, 10, 14, 20, 28, 40, 64, 128),
+}
+SORT_LEVELS = _SORT_PRESETS[os.environ.get("ZT_SORT_LEVELS", "all")]
 # Suffix-order neighbors taken per side.
 NEIGHBORS = 8
 # Levels that get a dedicated most-recent-occurrence candidate (the
@@ -86,6 +93,24 @@ else:
 # get exact sublen entries, and d=1 covers same-byte runs (the
 # reference's hash.c:128-136 second-hash mechanism).
 SHORT_DISTS = int(os.environ.get("ZT_SHORT_DISTS", "16"))
+# k=2 recents: add a 2nd most-recent occurrence column per rung for
+# rungs >= this value (0 = off).  Pairs with a '2' refinement round.
+RECENT_K2_MIN = int(os.environ.get("ZT_RECENT_K2", "0"))
+
+# Engine-level candidate knobs: the fused engine reads these at table
+# build time, so an in-process experiment can A/B variants while the
+# (much more expensive to compile) scan kernels stay warm.  max_bp is
+# NOT here — it changes the scan kernel geometry (env-only, ZT_MAX_BP).
+KNOBS = {
+    "sort_levels": SORT_LEVELS,
+    "refine_plan": REFINE_PLAN,
+    "short_dists": SHORT_DISTS,
+    "recent_k2_min": RECENT_K2_MIN,
+}
+
+
+def current_knobs() -> dict:
+    return dict(KNOBS)
 
 # Polynomial rolling-hash bases (odd, so powers never vanish mod 2^32).
 # Two independent families: sorts and grouping use _P; every equality
@@ -160,9 +185,17 @@ def _ladder(data_padded: jnp.ndarray,
 PREFIX = spec.WINDOW_SIZE
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_cap", "sort_levels", "refine_plan", "max_bp",
+                     "short_dists", "recent_k2_min"))
 def build_candidates(data_padded: jnp.ndarray, block_cap: int,
-                     min_pos: jnp.ndarray, inend_real: jnp.ndarray):
+                     min_pos: jnp.ndarray, inend_real: jnp.ndarray,
+                     *, sort_levels: tuple = SORT_LEVELS,
+                     refine_plan: str = REFINE_PLAN,
+                     max_bp: int = MAX_BP,
+                     short_dists: int = SHORT_DISTS,
+                     recent_k2_min: int = RECENT_K2_MIN):
     """Per-position condensed sublen tables for a block.
 
     data_padded: uint8 of length PREFIX + block_cap + >=258; the block
@@ -170,10 +203,16 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     block_cap: static padded block length (bucketed to limit recompiles).
     min_pos: first row holding a real byte (PREFIX - prefix_len).
     inend_real: PREFIX + real block length.
+    Keyword-only statics override the module-level env defaults (used by
+    the experiment harness and engine-level tuning); recent_k2_min > 0
+    adds a SECOND most-recent occurrence column for every RECENT_LEVELS
+    rung >= recent_k2_min (periodic data has multiple same-rung
+    occurrences with different true lengths — one recent per rung loses
+    the longer ones; see PARITY_CORPUS xml/log rows).
 
     Returns (bp_len, bp_dist, best_len):
-      bp_len  (block_cap, MAX_BP) int32 — breakpoint lengths, ascending
-      bp_dist (block_cap, MAX_BP) int32 — distance for lengths in
+      bp_len  (block_cap, max_bp) int32 — breakpoint lengths, ascending
+      bp_dist (block_cap, max_bp) int32 — distance for lengths in
               (bp_len[k-1], bp_len[k]]
       best_len (block_cap,) int32 — longest match, <3 if none
     """
@@ -190,7 +229,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # compile; 26 small sorts compile and run fast — and packing two
     # truncated levels per round measurably hurts neighbor quality).
     sidx = jnp.arange(n, dtype=jnp.int32)
-    for lvl in reversed(SORT_LEVELS):
+    for lvl in reversed(sort_levels):
         k = h[lvl][sidx]
         _, sidx = jax.lax.sort((k, sidx), num_keys=1, is_stable=True)
     hstack = jnp.stack([h[lvl] for lvl in LEVELS])   # (nl, n)
@@ -324,14 +363,42 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     ln_parts.append(jnp.minimum(ln_r, cap.T).T)
     dist_parts.append(dist_r.T)
 
+    # k=2 recents: the SECOND most-recent occurrence per rung, for rungs
+    # >= recent_k2_min.  Same sorted arrays, one more shift — no extra
+    # sort.  These enter at the rung length with a larger distance, so
+    # they only matter once a refinement round extends them (kind '2').
+    n_k2 = 0
+    if recent_k2_min:
+        k2_rows = [i for i, lvl in enumerate(RECENT_LEVELS)
+                   if lvl >= recent_k2_min]
+        n_k2 = len(k2_rows)
+        rows_a = np.asarray(k2_rows, np.int32)
+        prev2_i = jnp.concatenate(
+            [jnp.full((nr, 2), -1, jnp.int32), si[:, :-2]], axis=1)
+        same2 = jnp.concatenate(
+            [jnp.zeros((nr, 2), bool),
+             (sk[:, 2:] == sk[:, :-2]) & (sk2[:, 2:] == sk2[:, :-2])],
+            axis=1) & (prev2_i >= min_pos)
+        d2 = si - prev2_i
+        ok2 = same2 & (d2 >= 1) & (d2 <= spec.WINDOW_SIZE)
+        cand2 = jnp.where(ok2, prev2_i, -1)
+        recent2 = jnp.full((nr, n), -1, jnp.int32)
+        recent2 = recent2.at[jnp.arange(nr)[:, None], si].set(cand2)
+        recent2 = recent2[rows_a][:, instart:instart + L]     # (K2, L)
+        valid2 = recent2 >= 0
+        dist2 = jnp.where(valid2, pos.T - recent2, spec.WINDOW_SIZE + 1)
+        ln2 = jnp.where(valid2, lvl_arr[rows_a][:, None], 0)
+        ln_parts.append(jnp.minimum(ln2, cap.T).T)
+        dist_parts.append(dist2.T)
+
     # Exact short-distance candidates: for d = 1..SHORT_DISTS the match
     # length at p is the run of data[i] == data[i-d] starting at p —
     # one compare + one suffix-min per distance, no hashing, exact.
-    if SHORT_DISTS:
+    if short_dists:
         iota_n = jnp.arange(n, dtype=jnp.int32)
         x = data_padded
         ln_s = []
-        for d in range(1, SHORT_DISTS + 1):
+        for d in range(1, short_dists + 1):
             eq = jnp.concatenate(
                 [jnp.zeros(d, bool), x[d:] == x[:-d]])
             marked = jnp.where(eq, n, iota_n)
@@ -340,11 +407,11 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
             # Source must be a real (halo) byte: p - d >= min_pos.
             ok = iota_n - d >= min_pos
             ln_s.append(jnp.where(ok, runlen, 0)[instart:instart + L])
-        ln_sd = jnp.stack(ln_s, axis=1)           # (L, SHORT_DISTS)
+        ln_sd = jnp.stack(ln_s, axis=1)           # (L, short_dists)
         ln_parts.append(jnp.minimum(ln_sd, cap))
         dist_parts.append(jnp.broadcast_to(
-            jnp.arange(1, SHORT_DISTS + 1, dtype=jnp.int32)[None, :],
-            (L, SHORT_DISTS)))
+            jnp.arange(1, short_dists + 1, dtype=jnp.int32)[None, :],
+            (L, short_dists)))
 
     lcp = jnp.concatenate(ln_parts, axis=1)
     dist = jnp.concatenate(dist_parts, axis=1)
@@ -367,12 +434,12 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # recents (e.g. the line-period matches of log-like data, whose
     # true lengths sit just above a rung) never get extended.
     lcp_work = lcp
-    if SHORT_DISTS:
+    if short_dists:
         selectable = np.ones(C, bool)
-        selectable[C - SHORT_DISTS:] = False
+        selectable[C - short_dists:] = False
         lcp_work = jnp.where(jnp.asarray(selectable)[None, :], lcp, 0)
     n_neigh = 2 * NEIGHBORS
-    for kind in REFINE_PLAN:
+    for kind in refine_plan:
         if kind == "L":
             bestk = jnp.argmax(lcp_work, axis=1)
         elif kind == "R":
@@ -381,6 +448,13 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
             # small distance (log-period matches sit just above it).
             rsel = np.zeros(C, bool)
             rsel[n_neigh:n_neigh + len(RECENT_LEVELS)] = True
+            bestk = jnp.argmax(
+                jnp.where(jnp.asarray(rsel)[None, :], lcp_work, 0), axis=1)
+        elif kind == "2":
+            # Longest k=2-recent claim: same-rung second occurrences
+            # are skyline-dominated until extended past their rung.
+            rsel = np.zeros(C, bool)
+            rsel[n_neigh + nr:n_neigh + nr + n_k2] = True
             bestk = jnp.argmax(
                 jnp.where(jnp.asarray(rsel)[None, :], lcp_work, 0), axis=1)
         else:
@@ -422,7 +496,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
 
     best_len = jnp.max(jnp.where(keep, lcp_s, 0), axis=1)
 
-    # Condense to MAX_BP slots (first MAX_BP-1 kept plus the final,
+    # Condense to max_bp slots (first max_bp-1 kept plus the final,
     # longest one) via one more payload sort instead of a scatter: rank
     # kept entries by their slot, park dropped ones at the end.
     slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
@@ -431,11 +505,11 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     last_slot = nkept - 1
     is_last = keep & (slot == last_slot[:, None])
     rank = jnp.where(
-        slot < MAX_BP - 1, slot,
-        jnp.where(is_last, jnp.minimum(last_slot, MAX_BP - 1)[:, None], C))
+        slot < max_bp - 1, slot,
+        jnp.where(is_last, jnp.minimum(last_slot, max_bp - 1)[:, None], C))
     keep_len = jnp.where(keep, lcp_s, 0)
     keep_dist = jnp.where(keep, dist_s, 0)
     _, bp_len, bp_dist = jax.lax.sort(
         (rank, keep_len, keep_dist), num_keys=1, is_stable=True,
         dimension=1)
-    return bp_len[:, :MAX_BP], bp_dist[:, :MAX_BP], best_len
+    return bp_len[:, :max_bp], bp_dist[:, :max_bp], best_len

@@ -75,6 +75,11 @@ def fused_dispatch(data: np.ndarray, masters, numiterations: int,
     return fs, fs.dispatch(seed_ll, seed_d, numiterations)
 
 
+# Diagnostic counter: silent native fallbacks on verify failure make
+# sizes look fine while time doubles — experiments must check this.
+VERIFY_FAILS = [0]
+
+
 def fused_collect(fs, handle, numiterations: int,
                   trace=None) -> list[list[LZ77Store]]:
     """Blocking half: pull parses, verify, fall back on collisions."""
@@ -93,6 +98,7 @@ def fused_collect(fs, handle, numiterations: int,
             if trace is not None:
                 trace(b, numiterations - 1, float(best_cost[b]))
             if not fs.verify_parse(b, lit, dst):
+                VERIFY_FAILS[0] += 1
                 # Hash collision (cryptographically unlikely): exact
                 # host fallback for this block using the best stats.
                 eng = native.BlockEngine(data, bs, be)
