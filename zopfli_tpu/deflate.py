@@ -190,6 +190,27 @@ def add_lz77_block_auto_type(options: Options, final: bool, store: LZ77Store,
         add_lz77_block(options, 2, final, store, lstart, lend, out)
 
 
+def _use_devseed(options: Options) -> bool:
+    """TPU engine seeds/splits on device by default (ZT_SEED=greedy
+    restores the host-greedy path for A/B comparison)."""
+    import os as _os
+    return _os.environ.get("ZT_SEED", "device") == "device"
+
+
+def _seed_maxblocks(options: Options) -> int:
+    return options.blocksplittingmax if options.blocksplitting else 1
+
+
+def _devseed_trace(tracer, entry):
+    """Per-block iteration hook factory over a devseed entry."""
+    if tracer is None or entry[2] is None:
+        return None
+    fs = entry[2]
+    hooks = [tracer.block_iteration_hook(bs, be)
+             for (bs, be) in fs.block_bounds]
+    return lambda b, i, cost: hooks[b](i, cost)
+
+
 def split_master(options: Options, data: np.ndarray, instart: int,
                  inend: int, greedy_fn) -> list[int]:
     """Block-split of one master -> bounds incl. endpoints.
@@ -239,6 +260,20 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
         add_lz77_block(options, 1, final, store, 0, store.size, out)
         if hasattr(engine, "close"):
             engine.close()
+        return
+
+    if options.engine == "tpu" and inend > instart and _use_devseed(options):
+        from .squeeze_batched import devseed_collect, devseed_dispatch
+        entry = devseed_dispatch(data, [(instart, inend)],
+                                 options.numiterations,
+                                 _seed_maxblocks(options),
+                                 mesh=local_mesh())
+        res = devseed_collect(entry, options.numiterations,
+                              trace=_devseed_trace(tracer, entry))[0]
+        if res[0] == "stored":
+            add_non_compressed_block(final, data, instart, inend, out)
+            return
+        finish_part(options, final, res[1], out, engine_factory)
         return
 
     bounds = split_master(options, data, instart, inend, greedy_fn)
@@ -427,6 +462,32 @@ def _deflate_fused_masters(options: Options, data: np.ndarray, masters,
     # Software pipeline: while the device runs chunk N's fused loop,
     # the host splits/seeds chunk N+1 and then emits chunk N-1 — the
     # serial host work hides under device compute at corpus scale.
+    if _use_devseed(options):
+        from .squeeze_batched import devseed_collect, devseed_dispatch
+
+        pending = None  # (chunk, entry)
+
+        def emit_ds(p):
+            chunk, entry = p
+            results = devseed_collect(entry, options.numiterations,
+                                      trace=_devseed_trace(options.tracer,
+                                                           entry))
+            for (start, end, fin), res in zip(chunk, results):
+                if res[0] == "stored":
+                    add_non_compressed_block(fin, data, start, end, out)
+                else:
+                    finish_part(options, fin, res[1], out, engine_factory)
+
+        for chunk in chunks:
+            entry = devseed_dispatch(
+                data, [(start, end) for (start, end, _fin) in chunk],
+                options.numiterations, _seed_maxblocks(options), mesh=mesh)
+            if pending is not None:
+                emit_ds(pending)
+            pending = (chunk, entry)
+        emit_ds(pending)
+        return
+
     from .squeeze_batched import fused_collect, fused_dispatch
 
     pending = None  # (chunk, fs, handle)

@@ -121,6 +121,85 @@ def _entropy_f64(counts: np.ndarray) -> np.ndarray:
     return calculate_entropy(counts.astype(np.int64))
 
 
+# ---------------------------------------------------------------------------
+# Device-seeded path: zero host greedy (VERDICT r2 item 2).
+# ---------------------------------------------------------------------------
+
+def devseed_dispatch(data: np.ndarray, ranges, numiterations: int,
+                     maxblocks: int = 15, mesh=None,
+                     interpret: bool | None = None):
+    """Seed + split + squeeze-dispatch for a chunk of masters, no greedy.
+
+    ranges: [(instart, inend)].  Per master, the seed program (ops.seed)
+    builds candidates, runs the fixed-cost seed parse, splits, and
+    returns seed stats + stored-exit costs in one device dispatch; the
+    fused squeeze then reuses the candidate tables.  Masters whose every
+    block prefers stored by a clear margin skip the squeeze entirely.
+
+    Returns an opaque entry for devseed_collect().
+    """
+    import jax
+
+    from .ops import fused_engine
+    from .ops import seed as seed_mod
+
+    if numiterations < 1:
+        raise ValueError("numiterations must be >= 1")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    seeds = []
+    for (instart, inend) in ranges:
+        cheap = seed_mod.probably_incompressible(data, instart, inend)
+        sr = seed_mod.seed_master(data, instart, inend, maxblocks,
+                                  interpret=interpret, cheap=cheap)
+        if cheap and not sr.all_stored:
+            # Probe false-positive: redo with full-quality candidates.
+            sr = seed_mod.seed_master(data, instart, inend, maxblocks,
+                                      interpret=interpret, cheap=False)
+        seeds.append(sr)
+
+    live = [i for i, sr in enumerate(seeds) if not sr.all_stored]
+    if not live:
+        return (ranges, seeds, None, None)
+
+    masters = [(ranges[i][0], ranges[i][1], seeds[i].bounds) for i in live]
+    cand = [(seeds[i].bp_len, seeds[i].bp_dist) for i in live]
+    fs = fused_engine.FusedSqueeze(data, masters, interpret=interpret,
+                                   mesh=mesh, cand=cand)
+    # Exact density prediction from the seed parse (pow2-bucketed).
+    want = int(max(seeds[i].max_lane_rows for i in live) * 1.5) + 8
+    cap = 512
+    while cap < want and cap < fused_engine.TILE:
+        cap *= 2
+    fs.default_fetch_cap = min(cap, fused_engine.TILE)
+
+    seed_ll = np.vstack([seeds[i].seed_ll for i in live])
+    seed_d = np.vstack([seeds[i].seed_d for i in live])
+    handle = fs.dispatch(seed_ll, seed_d, numiterations)
+    return (ranges, seeds, fs, handle)
+
+
+def devseed_collect(entry, numiterations: int, trace=None):
+    """Blocking half of devseed_dispatch.
+
+    Returns one result per master: ("stores", [LZ77Store...]) for
+    squeezed masters, ("stored", instart, inend) for stored-exit ones.
+    """
+    ranges, seeds, fs, handle = entry
+    results = [None] * len(ranges)
+    if fs is not None:
+        all_stores = fused_collect(fs, handle, numiterations, trace=trace)
+    k = 0
+    for i, (sr, (instart, inend)) in enumerate(zip(seeds, ranges)):
+        if sr.all_stored:
+            results[i] = ("stored", instart, inend)
+        else:
+            results[i] = ("stores", all_stores[k])
+            k += 1
+    return results
+
+
 def lz77_optimal_batched(data: np.ndarray, instart: int, inend: int,
                          block_bounds: list[int], numiterations: int,
                          greedy_fn, interpret: bool | None = None,
