@@ -12,50 +12,52 @@ from zopfli_tpu.lz77 import LZ77Store
 from zopfli_tpu.ops import scan_kernel
 
 
-def test_scan_kernel_matches_reference():
-    rng = np.random.default_rng(5)
-    tile, nt, kbp = 128, 8, 4
-    # Random but well-formed breakpoint tables: ascending lengths.
+def _random_bp(rng, tile, kbp, nt):
+    """Random but well-formed breakpoint tables: ascending lengths."""
     bp_len = np.sort(rng.integers(0, 80, (tile, kbp, nt)), axis=1)
     bp_len = np.where(bp_len < 3, 0, bp_len).astype(np.int32)
     bp_dist = rng.integers(1, 3000, (tile, kbp, nt)).astype(np.int32)
+    return bp_len, bp_dist
+
+
+def test_scan_kernel_matches_reference():
+    rng = np.random.default_rng(5)
+    tile, nt, kbp = 128, 8, 4
+    bp_len, _ = _random_bp(rng, tile, kbp, nt)
     bp_dcost = rng.uniform(1, 15, (tile, kbp, nt)).astype(np.float32)
     litcost = rng.uniform(1, 12, (tile, nt)).astype(np.float32)
     lcost = rng.uniform(1, 10, (scan_kernel.W, nt)).astype(np.float32)
 
     run = scan_kernel.make_scan(tile, nt, kbp, interpret=True)
-    cl, cd, cost = run(bp_len, bp_dist, bp_dcost, litcost, lcost)
-    rcl, rcd, rcost = scan_kernel.scan_reference(
-        bp_len, bp_dist, bp_dcost, litcost, lcost)
+    cl, cost = run(bp_len, bp_dcost, litcost, lcost)
+    rcl, rcost = scan_kernel.scan_reference(bp_len, bp_dcost, litcost, lcost)
 
     np.testing.assert_allclose(np.asarray(cost), rcost, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(cl), rcl)
-    np.testing.assert_array_equal(np.asarray(cd), rcd)
 
 
 def test_traceback_kernel_matches_reference():
     rng = np.random.default_rng(9)
-    tile, nt = 128, 8
-    # Build a plausible cl/cd: random edges, at least 1, <= position.
+    tile, nt, kbp = 128, 8, 4
+    bl, bd = _random_bp(rng, tile, kbp, nt)
+    # Plausible cl: random edges whose lengths the bp tables can cover
+    # (the resolver returns 0 for uncovered lengths — also exercised).
     cl = np.zeros((tile, nt), np.int32)
-    cd = np.zeros((tile, nt), np.int32)
     for lane in range(nt):
         for p in range(1, tile + 1):
             if rng.random() < 0.7 or p < 4:
                 cl[p - 1, lane] = 1
             else:
-                l = int(rng.integers(3, min(p, 258) + 1))
-                cl[p - 1, lane] = l
-                cd[p - 1, lane] = int(rng.integers(1, 2000))
+                cl[p - 1, lane] = int(rng.integers(3, min(p, 80) + 1))
     lit = rng.integers(0, 256, (tile, nt)).astype(np.int32)
     nbyt = rng.integers(0, tile + 1, (1, nt)).astype(np.int32)
     nbyt[0, 0] = tile
     nbyt[0, 1] = 0
 
-    run = scan_kernel.make_traceback(tile, nt, interpret=True)
+    run = scan_kernel.make_traceback(tile, nt, kbp, interpret=True)
     symtab = scan_kernel.symbol_range_table()
-    hist, plp, pdp = run(cl, cd, lit, nbyt, symtab)
-    rhist, rpl, rpd = scan_kernel.traceback_reference(cl, cd, lit, nbyt)
+    hist, plp, pdp = run(cl, bl, bd, lit, nbyt, symtab)
+    rhist, rpl, rpd = scan_kernel.traceback_reference(cl, bl, bd, lit, nbyt)
     np.testing.assert_array_equal(np.asarray(hist), rhist)
     np.testing.assert_array_equal(np.asarray(plp), rpl)
     np.testing.assert_array_equal(np.asarray(pdp), rpd)

@@ -24,17 +24,21 @@ jax.distributed.initialize(coordinator_address={coord!r},
                            num_processes={n},
                            process_id=int(sys.argv[1]))
 import numpy as np
+import zopfli_tpu
 from zopfli_tpu.deflate import Options
-from zopfli_tpu.parallel.multihost import compress_multihost
 
 rng = np.random.default_rng(77)
 words = [b"alpha ", b"beta ", b"gamma ", b"delta ", b"eps "]
 data = b"".join(words[i] for i in rng.integers(0, len(words), 400000))
-data = data[:2100000]
-out = compress_multihost(data, "gzip", Options(numiterations=2))
+data = data[:{nbytes}]
+# The public API auto-routes to compress_multihost when
+# jax.process_count() > 1 (returns bytes on process 0, None elsewhere).
+out = zopfli_tpu.compress(data, "gzip", Options(numiterations=2))
 if jax.process_index() == 0:
     with open({outpath!r}, "wb") as f:
         f.write(out)
+else:
+    assert out is None
 """
 
 
@@ -46,11 +50,11 @@ def _free_port() -> int:
     return port
 
 
-def test_multihost_two_processes(tmp_path):
-    n = 2
-    outpath = str(tmp_path / "mh.gz")
+def _run_multihost(tmp_path, n: int, nbytes: int):
+    outpath = str(tmp_path / f"mh{n}.gz")
     coord = f"127.0.0.1:{_free_port()}"
-    script = _WORKER.format(repo=REPO, coord=coord, n=n, outpath=outpath)
+    script = _WORKER.format(repo=REPO, coord=coord, n=n, outpath=outpath,
+                            nbytes=nbytes)
 
     env = dict(os.environ)
     env.update({
@@ -70,10 +74,20 @@ def test_multihost_two_processes(tmp_path):
     rng = np.random.default_rng(77)
     words = [b"alpha ", b"beta ", b"gamma ", b"delta ", b"eps "]
     data = b"".join(words[i] for i in rng.integers(0, len(words), 400000))
-    data = data[:2100000]
+    data = data[:nbytes]
     assert zlib.decompress(out, 16 + 15) == data
 
     import zopfli_tpu
     from zopfli_tpu.deflate import Options
     serial = zopfli_tpu.compress(data, "gzip", Options(numiterations=2))
     assert out == serial
+
+
+def test_multihost_two_processes(tmp_path):
+    _run_multihost(tmp_path, n=2, nbytes=2100000)
+
+
+def test_multihost_four_processes(tmp_path):
+    # 5 masters over 4 processes: one process gets two, one idles on
+    # the last gather round — exercises the ragged in-order splice.
+    _run_multihost(tmp_path, n=4, nbytes=4200000)

@@ -61,10 +61,31 @@ def deflate_raw(data, options: Options | None = None) -> bytes:
     return out.getvalue()
 
 
+def _multihost_active() -> bool:
+    """True inside an initialized multi-process jax.distributed cluster."""
+    import sys
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return False
+    try:
+        return jax.process_count() > 1
+    except Exception:
+        return False
+
+
 def compress(data, fmt: str = "gzip", options: Options | None = None) -> bytes:
-    """Compress `data` into the requested container format."""
+    """Compress `data` into the requested container format.
+
+    Inside a multi-process `jax.distributed` cluster this auto-routes
+    to `parallel.multihost.compress_multihost` (master blocks sharded
+    over processes; bytes returned on process 0, None elsewhere) —
+    every process must call it with identical data.
+    """
     options = options or Options()
     data = _as_u8(data)
+    if _multihost_active():
+        from .parallel.multihost import compress_multihost
+        return compress_multihost(data, fmt, options)
     if fmt == "deflate":
         payload = deflate_raw(data, options)
         result = payload

@@ -32,9 +32,10 @@ class Options:
     blocksplitting: bool = True
     blocksplittingmax: int = 15
     # Framework extensions (no reference counterpart):
-    # "native"     — C++ host engine (serial, bit-identical to reference)
-    # "tpu"        — batched Pallas pipeline: all blocks in lockstep
-    # "tpu-serial" — per-block JAX engine (kept for cross-checking)
+    # "native" — C++ host engine (serial, bit-identical to reference)
+    # "tpu"    — fused Pallas pipeline: device seed parse + split +
+    #            all squeeze iterations in one dispatch
+    # (ops.engine.TpuBlockEngine remains as a test-only oracle.)
     engine: str = "native"
     tracer: Optional[Tracer] = None
     # Master blocks are independent (32 KiB halo) and compress in
@@ -43,10 +44,7 @@ class Options:
 
 
 def default_engine_factory(options: Options) -> Callable:
-    if options.engine == "tpu-serial":
-        from .ops.engine import TpuBlockEngine
-        return TpuBlockEngine
-    # The batched TPU path drives its own parse; auxiliary per-block
+    # The fused TPU path drives its own parse; auxiliary per-block
     # engines (fixed-tree re-parse probes) run on the host.
     from . import native
     return native.BlockEngine
@@ -292,16 +290,6 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
             from .lz77 import LZ77Store as _S
             stores = [_S(data, np.zeros(0, np.uint16),
                          np.zeros(0, np.uint16), instart)]
-    elif options.engine == "tpu-periter":
-        from .squeeze_batched import lz77_optimal_batched
-        trace = None
-        if tracer is not None:
-            hooks = [tracer.block_iteration_hook(bounds[i], bounds[i + 1])
-                     for i in range(len(bounds) - 1)]
-            trace = lambda b, i, cost: hooks[b](i, cost)
-        stores = lz77_optimal_batched(
-            data, instart, inend, bounds, options.numiterations,
-            greedy_fn, trace=trace)
     else:
         stores = []
         for i in range(len(bounds) - 1):
@@ -400,7 +388,7 @@ def deflate(options: Options, btype: int, final: bool, data: np.ndarray,
     # each worker's device work lands on its master's chip (the
     # data-parallel axis of SURVEY.md §5; no collectives needed).
     devices = None
-    if options.engine in ("tpu", "tpu-serial"):
+    if options.engine == "tpu":
         import jax
         devs = jax.local_devices()
         if len(devs) > 1:

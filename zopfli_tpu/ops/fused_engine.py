@@ -172,13 +172,10 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
             litcost = jnp.where(valid_t.reshape(G, TILE, LANES), litcost,
                                 scan_kernel.BIG)
 
-            cl, cd, _ = scan(bl_t, bd_t,
-                             bp_dcost.reshape(G * TILE, KBP, LANES),
-                             litcost.reshape(G * TILE, LANES), lcost_vec)
-            if G == 1:
-                cl, cd = cl[1:], cd[1:]   # groups=1 keeps the legacy row
-            hist_g, plp, pdp = traceback(cl, cd, lit_t, tile_nbytes,
-                                         jnp.asarray(symtab))
+            cl, _ = scan(bl_t, bp_dcost.reshape(G * TILE, KBP, LANES),
+                         litcost.reshape(G * TILE, LANES), lcost_vec)
+            hist_g, plp, pdp = traceback(cl, bl_t, bd_t, lit_t,
+                                         tile_nbytes, jnp.asarray(symtab))
             hist = jnp.einsum(
                 "ghl,glb->hb", hist_g.reshape(G, HB, LANES), blk_oh,
                 precision=jax.lax.Precision.HIGHEST)
@@ -555,7 +552,7 @@ class FusedSqueeze:
         scan = scan_kernel.make_scan(TILE, LANES, KBP,
                                      interpret=self._interpret,
                                      groups=g_local)
-        traceback = scan_kernel.make_traceback(TILE, LANES,
+        traceback = scan_kernel.make_traceback(TILE, LANES, KBP,
                                                interpret=self._interpret,
                                                groups=g_local)
         run_all = _make_run_all(scan, traceback, g_local, self.nb_pad,

@@ -111,8 +111,8 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
 
     scan = scan_kernel.make_scan(TILE, LANES, KBP, interpret=interpret,
                                  groups=G)
-    traceback = scan_kernel.make_traceback(TILE, LANES, interpret=interpret,
-                                           groups=G)
+    traceback = scan_kernel.make_traceback(TILE, LANES, KBP,
+                                           interpret=interpret, groups=G)
     symtab = np.asarray(scan_kernel.symbol_range_table(), dtype=np.int32)
 
     def run(buf: jnp.ndarray, min_pos: jnp.ndarray, inend_real: jnp.ndarray):
@@ -161,11 +161,9 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
             jnp.asarray(_FIXED_LCOST)[:, None], (W, LANES))
         lcost_vec = jnp.tile(lcost_vec, (G, 1))
 
-        cl, cd, _ = scan(bl_t, bd_t, bp_dcost, litcost, lcost_vec)
-        if G == 1:
-            cl, cd = cl[1:], cd[1:]
+        cl, _ = scan(bl_t, bp_dcost, litcost, lcost_vec)
         nbytes_g = tile_nbytes.reshape(G, LANES)
-        _, plp, pdp = traceback(cl, cd, lit_t, nbytes_g,
+        _, plp, pdp = traceback(cl, bl_t, bd_t, lit_t, nbytes_g,
                                 jnp.asarray(symtab))
 
         # ---- per-lane compaction, carrying the literal byte ----

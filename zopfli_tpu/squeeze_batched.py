@@ -1,13 +1,11 @@
-"""Batched squeeze driver: zopfli iteration control over MasterBatch.
+"""Fused squeeze drivers: host glue around ops.fused_engine / ops.seed.
 
-Runs the reference's per-block iteration loop (squeeze.c:446-526 —
-stats feedback, keep-best by exact dynamic-block size, fixed-seed MWC
-randomization, 1.0/0.5 blending) for EVERY block of a master block
-simultaneously: each iteration is one batched device DP over all
-blocks' tiles, with only per-block histograms crossing back per
-iteration.  The exact bit cost that drives keep-best is computed from
-those histograms natively (zt_hist_dynamic_cost) — identical maths to
-ZopfliCalculateBlockSize(..., 2).
+The reference's per-block iteration loop (squeeze.c:446-526 — stats
+feedback, keep-best by exact dynamic-block size, fixed-seed MWC
+randomization, 1.0/0.5 blending) runs entirely on device inside the
+fused engine; this module owns dispatch/collect, the greedy-seeded
+legacy path (ZT_SEED=greedy), the device-seeded default path, and the
+hash-collision verify + native fallback.
 """
 
 from __future__ import annotations
@@ -16,21 +14,7 @@ import numpy as np
 
 from . import spec
 from .lz77 import LZ77Store
-from .ops.batch_engine import MasterBatch
-from .squeeze import (MwcRng, SymbolStats, add_weighed_freqs,
-                      randomize_stat_freqs)
-
-
-class _BlockIter:
-    """Iteration-control state for one block (mirrors squeeze.c locals)."""
-
-    def __init__(self):
-        self.rng = MwcRng()
-        self.stats = SymbolStats()
-        self.best_cost = spec.LARGE_FLOAT
-        self.best_stats = None
-        self.last_cost = 0.0
-        self.last_random_step = -1
+from .squeeze import SymbolStats
 
 
 def lz77_optimal_fused(data: np.ndarray, masters, numiterations: int,
@@ -200,82 +184,3 @@ def devseed_collect(entry, numiterations: int, trace=None):
     return results
 
 
-def lz77_optimal_batched(data: np.ndarray, instart: int, inend: int,
-                         block_bounds: list[int], numiterations: int,
-                         greedy_fn, interpret: bool | None = None,
-                         trace=None) -> list[LZ77Store]:
-    """Optimal parses for every block in [instart, inend).
-
-    block_bounds: [instart, b1, ..., inend] from the splitter.
-    Returns one LZ77Store per block, in order.
-    """
-    from . import native
-
-    if numiterations < 1:
-        raise ValueError("numiterations must be >= 1")
-    if inend == instart:
-        return [LZ77Store(data, np.zeros(0, np.uint16),
-                          np.zeros(0, np.uint16), instart)]
-
-    mb = MasterBatch(data, instart, inend, block_bounds, interpret=interpret)
-    nb = mb.nb
-
-    # Seed stats from a greedy parse of each block (squeeze.c:481-482).
-    st = [_BlockIter() for _ in range(nb)]
-    for b in range(nb):
-        glit, gdist = greedy_fn(data, block_bounds[b], block_bounds[b + 1])
-        seed = LZ77Store(data, glit, gdist, block_bounds[b])
-        st[b].stats.fill_from_store(seed)
-
-    for i in range(numiterations):
-        ll_cost = np.stack([s.stats.ll_symbols for s in st])
-        d_cost = np.stack([s.stats.d_symbols for s in st])
-        ll_hist, d_hist = mb.run_iteration(ll_cost, d_cost)
-
-        improved = np.zeros(nb, bool)
-        for b in range(nb):
-            s = st[b]
-            # Exact dynamic-block size incl. 3-bit header (squeeze.c:492).
-            cost = 3.0 + native.hist_dynamic_cost(ll_hist[b], d_hist[b])
-            if trace is not None:
-                trace(b, i, cost)
-            if cost < s.best_cost:
-                improved[b] = True
-                s.best_cost = cost
-                s.best_stats = s.stats.copy()
-            laststats = s.stats.copy()
-            s.stats = SymbolStats()
-            s.stats.litlens = ll_hist[b].astype(np.int64)
-            s.stats.litlens[256] = 1
-            s.stats.dists = d_hist[b].astype(np.int64)
-            s.stats.recalculate()
-            if s.last_random_step != -1:
-                s.stats = add_weighed_freqs(s.stats, 1.0, laststats, 0.5)
-                s.stats.recalculate()
-            if i > 5 and cost == s.last_cost:
-                s.stats = s.best_stats.copy()
-                randomize_stat_freqs(s.rng, s.stats)
-                s.stats.recalculate()
-                s.last_random_step = i
-            s.last_cost = cost
-        if i == 0:
-            improved[:] = True
-        mb.keep_best(improved)
-
-    parses = mb.fetch_parse("best")
-    stores = []
-    for b, (lit, dst) in enumerate(parses):
-        if not mb.verify_parse(b, lit, dst):
-            # Hash collision (cryptographically unlikely): exact host
-            # fallback for this block.
-            eng = native.BlockEngine(data, block_bounds[b],
-                                     block_bounds[b + 1])
-            try:
-                lit, dst = eng.squeeze_run(st[b].best_stats.ll_symbols
-                                           if st[b].best_stats else None,
-                                           st[b].best_stats.d_symbols
-                                           if st[b].best_stats else None)
-            finally:
-                eng.close()
-        stores.append(LZ77Store(data, lit, dst, block_bounds[b]))
-    return stores
