@@ -5,11 +5,12 @@ Times every stage of a 1 MiB `compress()` on the real chip, warm
 hit the persistent cache, so cross-process "warm" numbers are a
 compile-bound illusion; see CLAUDE.md).
 
-Stages:
-  greedy      host greedy seed parse (native C++)
-  split       split_master total (greedy + device split search)
-  candidates  hashmatch.build_candidates for the master (device)
-  prepare     FusedSqueeze group tensor prep (minus candidates)
+Stages (production devseed path — no host greedy):
+  probe       host incompressibility probe
+  candidates  hashmatch.build_candidates alone (device; also inside seed)
+  seed        seed program total: candidates + fixed-cost parse + split
+              + seed stats, one device dispatch (ops.seed)
+  prepare     FusedSqueeze init with reused candidate tables
   loop1       fused device loop, numiterations=1
   loop15      fused device loop, numiterations=15
   periter     (loop15 - loop1) / 14
@@ -17,7 +18,7 @@ Stages:
   emit        finish_part: second split + auto-type + bit emission
   total       one full compress() call
 
-Usage: python profile_stages.py [--json] [--md PROFILE.md]
+Usage: python profile_stages.py [--md PROFILE.md]
 """
 
 from __future__ import annotations
@@ -54,12 +55,13 @@ def timeit(fn, n=3):
 def main() -> None:
     from bench import bench_data
     import zopfli_tpu
-    from zopfli_tpu import native
-    from zopfli_tpu.deflate import (Options, split_master, finish_part,
+    from zopfli_tpu.deflate import (Options, finish_part,
                                     default_engine_factory, local_mesh)
     from zopfli_tpu.emit import BitStream
+    from zopfli_tpu.lz77 import LZ77Store
     from zopfli_tpu.ops import hashmatch, fused_engine
-    from zopfli_tpu.squeeze_batched import fused_dispatch, fused_collect
+    from zopfli_tpu.ops import seed as seed_mod
+    from zopfli_tpu.squeeze_batched import fused_collect
     import jax.numpy as jnp
 
     data_b = bench_data()
@@ -75,16 +77,11 @@ def main() -> None:
 
     res: dict[str, float] = {}
 
-    # ---- greedy ----
-    res["greedy"] = timeit(lambda: native.greedy(data, 0, n))
+    # ---- probe ----
+    res["probe"] = timeit(
+        lambda: seed_mod.probably_incompressible(data, 0, n))
 
-    # ---- split (greedy + device split) ----
-    res["split"] = timeit(lambda: split_master(opts, data, 0, n,
-                                               native.greedy))
-    bounds = split_master(opts, data, 0, n, native.greedy)
-    masters = [(0, n, bounds)]
-
-    # ---- candidates (device build, one master) ----
+    # ---- candidates alone (device build, one master) ----
     cap = 16384
     while cap < n:
         cap *= 2
@@ -94,45 +91,40 @@ def main() -> None:
     buf_d = jnp.asarray(buf)
 
     def cand():
-        bl, bd, bl2 = hashmatch.build_candidates(
+        bl, bd, _ = hashmatch.build_candidates(
             buf_d, cap, jnp.int32(hashmatch.PREFIX),
-            jnp.int32(hashmatch.PREFIX + n))
+            jnp.int32(hashmatch.PREFIX + n),
+            **hashmatch.current_knobs())
         sync(bl[:8, :], bd[:8, :])
     cand()  # warm this exact shape
     res["candidates"] = timeit(cand)
 
-    # ---- FusedSqueeze init (candidates + prepare) ----
+    # ---- seed program (candidates + fixed parse + split + stats) ----
+    def seed():
+        return seed_mod.seed_master(data, 0, n,
+                                    opts.blocksplittingmax)
+    sr = seed()
+    res["seed"] = timeit(seed)
+
+    masters = [(0, n, sr.bounds)]
+    cand_t = [(sr.bp_len, sr.bp_dist)]
+
+    # ---- FusedSqueeze init with reused candidates (prepare) ----
     def fs_init():
-        fs = fused_engine.FusedSqueeze(data, masters, mesh=mesh)
+        fs = fused_engine.FusedSqueeze(data, masters, mesh=mesh,
+                                       cand=cand_t)
         sync(fs._prep[3][:8])
         return fs
     fs = fs_init()
-    res["fs_init"] = timeit(fs_init)
-    res["prepare"] = res["fs_init"] - res["candidates"]
+    res["prepare"] = timeit(fs_init)
 
-    # ---- seeds ----
-    from zopfli_tpu.squeeze import SymbolStats
-    from zopfli_tpu.lz77 import LZ77Store
-    import zopfli_tpu.spec as spec
-
-    def seeds():
-        sll = np.zeros((fs.nb, spec.NUM_LL), np.int64)
-        sd = np.zeros((fs.nb, spec.NUM_D), np.int64)
-        for b, (bs, be) in enumerate(fs.block_bounds):
-            glit, gdist = native.greedy(data, bs, be)
-            st = SymbolStats()
-            st.fill_from_store(LZ77Store(data, glit, gdist, bs))
-            sll[b] = st.litlens
-            sd[b] = st.dists
-        return sll, sd
-    seed_ll, seed_d = seeds()
-    res["seeds"] = timeit(seeds)
+    seed_ll, seed_d = sr.seed_ll, sr.seed_d
 
     # ---- device loop: 1 iter vs full ----
     def loop(k):
         h = fs.dispatch(seed_ll, seed_d, k)
         sync(h[0][0])
-    loop(1)  # warm the 1-iteration variant if needed (same jit, n_iter arg)
+    loop(1)
     res["loop1"] = timeit(lambda: loop(1))
     res["loop15"] = timeit(lambda: loop(15))
     res["periter"] = (res["loop15"] - res["loop1"]) / 14.0
@@ -158,7 +150,7 @@ def main() -> None:
                           n=2)
 
     res["warm_first_call"] = warm_s
-    accounted = (res["split"] + res["fs_init"] + res["seeds"]
+    accounted = (res["probe"] + res["seed"] + res["prepare"]
                  + res["loop15"] + res["fetch"] + res["emit"])
     res["accounted"] = accounted
 
@@ -175,22 +167,22 @@ def main() -> None:
             f.write("# PROFILE — TPU engine per-stage times (1 MiB, warm, "
                     "one v5e chip)\n\n")
             f.write("Generated by `python profile_stages.py --md "
-                    "PROFILE.md`.  All times seconds, min of 3.\n\n")
+                    "PROFILE.md`.  All times seconds, min of 3.  The\n"
+                    "production path is devseed: no host greedy "
+                    "(VERDICT r2 item 2).\n\n")
             f.write("| stage | seconds | notes |\n|---|---|---|\n")
             notes = {
-                "greedy": "host greedy seed parse (native C++)",
-                "split": "split_master: greedy + device split search",
-                "candidates": "hashmatch.build_candidates (device)",
-                "prepare": "FusedSqueeze group prep (fs_init - candidates)",
-                "fs_init": "FusedSqueeze.__init__ total",
-                "seeds": "per-block greedy seed stats (host)",
+                "probe": "host incompressibility probe",
+                "candidates": "hashmatch.build_candidates alone (device)",
+                "seed": "seed program: candidates + fixed parse + split",
+                "prepare": "FusedSqueeze init reusing seed candidates",
                 "loop1": "fused loop, 1 iteration",
                 "loop15": "fused loop, 15 iterations",
                 "periter": "(loop15 - loop1)/14",
                 "fetch": "collect(): d2h packed parses + decode",
                 "emit": "second split + auto-type + emission (host)",
                 "total": "one full compress() call, warm",
-                "accounted": "split+fs_init+seeds+loop15+fetch+emit",
+                "accounted": "probe+seed+prepare+loop15+fetch+emit",
                 "warm_first_call": "first compress() incl. compiles",
             }
             for k, v in res.items():

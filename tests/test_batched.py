@@ -12,52 +12,50 @@ from zopfli_tpu.lz77 import LZ77Store
 from zopfli_tpu.ops import scan_kernel
 
 
-def _random_bp(rng, tile, kbp, nt):
-    """Random but well-formed breakpoint tables: ascending lengths."""
-    bp_len = np.sort(rng.integers(0, 80, (tile, kbp, nt)), axis=1)
-    bp_len = np.where(bp_len < 3, 0, bp_len).astype(np.int32)
-    bp_dist = rng.integers(1, 3000, (tile, kbp, nt)).astype(np.int32)
-    return bp_len, bp_dist
-
-
 def test_scan_kernel_matches_reference():
     rng = np.random.default_rng(5)
     tile, nt, kbp = 128, 8, 4
-    bp_len, _ = _random_bp(rng, tile, kbp, nt)
+    # Random but well-formed breakpoint tables: ascending lengths.
+    bp_len = np.sort(rng.integers(0, 80, (tile, kbp, nt)), axis=1)
+    bp_len = np.where(bp_len < 3, 0, bp_len).astype(np.int32)
+    bp_dist = rng.integers(1, 3000, (tile, kbp, nt)).astype(np.int32)
     bp_dcost = rng.uniform(1, 15, (tile, kbp, nt)).astype(np.float32)
     litcost = rng.uniform(1, 12, (tile, nt)).astype(np.float32)
     lcost = rng.uniform(1, 10, (scan_kernel.W, nt)).astype(np.float32)
 
     run = scan_kernel.make_scan(tile, nt, kbp, interpret=True)
-    cl, cost = run(bp_len, bp_dcost, litcost, lcost)
-    rcl, rcost = scan_kernel.scan_reference(bp_len, bp_dcost, litcost, lcost)
+    cl, cd, cost = run(bp_len, bp_dist, bp_dcost, litcost, lcost)
+    rcl, rcd, rcost = scan_kernel.scan_reference(
+        bp_len, bp_dist, bp_dcost, litcost, lcost)
 
     np.testing.assert_allclose(np.asarray(cost), rcost, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(cl), rcl)
+    np.testing.assert_array_equal(np.asarray(cd), rcd)
 
 
 def test_traceback_kernel_matches_reference():
     rng = np.random.default_rng(9)
-    tile, nt, kbp = 128, 8, 4
-    bl, bd = _random_bp(rng, tile, kbp, nt)
-    # Plausible cl: random edges whose lengths the bp tables can cover
-    # (the resolver returns 0 for uncovered lengths — also exercised).
+    tile, nt = 128, 8
+    # Build a plausible cl/cd: random edges, at least 1, <= position.
     cl = np.zeros((tile, nt), np.int32)
+    cd = np.zeros((tile, nt), np.int32)
     for lane in range(nt):
         for p in range(1, tile + 1):
             if rng.random() < 0.7 or p < 4:
                 cl[p - 1, lane] = 1
             else:
-                cl[p - 1, lane] = int(rng.integers(3, min(p, 80) + 1))
+                l = int(rng.integers(3, min(p, 258) + 1))
+                cl[p - 1, lane] = l
+                cd[p - 1, lane] = int(rng.integers(1, 2000))
     lit = rng.integers(0, 256, (tile, nt)).astype(np.int32)
     nbyt = rng.integers(0, tile + 1, (1, nt)).astype(np.int32)
     nbyt[0, 0] = tile
     nbyt[0, 1] = 0
 
-    run = scan_kernel.make_traceback(tile, nt, kbp, interpret=True)
+    run = scan_kernel.make_traceback(tile, nt, interpret=True)
     symtab = scan_kernel.symbol_range_table()
-    hist, plp, pdp = run(cl, bl, bd, lit, nbyt, symtab)
-    rhist, rpl, rpd = scan_kernel.traceback_reference(cl, bl, bd, lit, nbyt)
+    hist, plp, pdp = run(cl, cd, lit, nbyt, symtab)
+    rhist, rpl, rpd = scan_kernel.traceback_reference(cl, cd, lit, nbyt)
     np.testing.assert_array_equal(np.asarray(hist), rhist)
     np.testing.assert_array_equal(np.asarray(plp), rpl)
     np.testing.assert_array_equal(np.asarray(pdp), rpd)
@@ -92,6 +90,40 @@ def test_hist_dynamic_cost_matches_store_cost():
     ctx = native.CostContext(lit, dst)
     assert ctx.dynamic_lengths(0, store.size)[0] == \
         native.hist_dynamic_cost(ll_c, d_c)
+
+
+def test_no_silent_native_fallback(corpus):
+    # Regression guard: a traceback/decode bug makes every block fail
+    # verify_parse and silently fall back to the native engine (sizes
+    # look fine, time doubles) — assert zero fallbacks on normal data.
+    from zopfli_tpu import squeeze_batched as sb
+    before = sb.VERIFY_FAILS[0]
+    data = corpus["text"] + corpus["runs"] + corpus["foobar"]
+    out = zopfli_tpu.compress(data, "gzip",
+                              Options(engine="tpu", numiterations=4))
+    assert zlib.decompress(out, 16 + 15) == data
+    assert sb.VERIFY_FAILS[0] == before, "TPU parse fell back to native"
+
+
+def test_compress_many_window_isolation(corpus):
+    # Identical adjacent blobs: any cross-blob window leak WOULD be
+    # exploited (a match into the identical previous input) and the
+    # standalone stream would fail to decompress.
+    rng = np.random.default_rng(3)
+    base = bytes(rng.integers(97, 123, 6000, dtype=np.uint8))
+    blobs = [base, base, b"", base[:100], b"x", corpus["text"]]
+    outs = zopfli_tpu.compress_many(
+        blobs, "zlib", Options(engine="tpu", numiterations=3))
+    for i, (b, o) in enumerate(zip(blobs, outs)):
+        assert zlib.decompress(o) == b, f"blob {i}"
+
+
+def test_compress_many_matches_compress_gzip(corpus):
+    blobs = [corpus["foobar"], corpus["random_3000"]]
+    outs = zopfli_tpu.compress_many(
+        blobs, "gzip", Options(engine="tpu", numiterations=2))
+    for b, o in zip(blobs, outs):
+        assert zlib.decompress(o, 16 + 15) == b
 
 
 def test_traceback_tiles_literals_and_matches():

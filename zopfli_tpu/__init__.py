@@ -104,6 +104,55 @@ def compress(data, fmt: str = "gzip", options: Options | None = None) -> bytes:
     return result
 
 
+def compress_many(blobs, fmt: str = "gzip",
+                  options: Options | None = None) -> list[bytes]:
+    """Compress many independent inputs, batched on device.
+
+    With the TPU engine, all inputs' master blocks share the fused
+    engine's lane groups — one device dispatch serves many small files
+    instead of paying per-file dispatch latency (the reference's only
+    analog is the CLI's sequential file loop, zopfli_bin.c:191-211).
+    Other engines compress sequentially.  Returns one container per
+    input, same semantics as compress().
+    """
+    options = options or Options()
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
+    blobs = [_as_u8(b) for b in blobs]
+    if options.engine != "tpu" or _multihost_active():
+        return [compress(b, fmt, options) for b in blobs]
+
+    from .deflate import deflate_many
+
+    # Empty inputs take the scalar path (fixed empty block rules).
+    idx = [i for i, b in enumerate(blobs) if len(b)]
+    results: list[bytes | None] = [None] * len(blobs)
+    for i, b in enumerate(blobs):
+        if not len(b):
+            results[i] = compress(b, fmt, options)
+    if idx:
+        data = np.concatenate([blobs[i] for i in idx])
+        ranges = []
+        pos = 0
+        for i in idx:
+            ranges.append((pos, pos + len(blobs[i])))
+            pos += len(blobs[i])
+        outs = [BitStream() for _ in idx]
+        deflate_many(options, data, ranges, outs)
+        for k, i in enumerate(idx):
+            payload = outs[k].getvalue()
+            b = blobs[i]
+            if fmt == "deflate":
+                results[i] = payload
+            elif fmt == "gzip":
+                results[i] = containers.gzip_frame(
+                    payload, containers.crc32(b), len(b))
+            else:
+                results[i] = containers.zlib_frame(
+                    payload, containers.adler32(b))
+    return results
+
+
 def gzip_compress(data, options: Options | None = None) -> bytes:
     return compress(data, "gzip", options)
 

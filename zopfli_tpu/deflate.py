@@ -498,6 +498,81 @@ def _deflate_fused_masters(options: Options, data: np.ndarray, masters,
     emit(pending)
 
 
+def deflate_many(options: Options, data: np.ndarray, blob_ranges,
+                 outs: list[BitStream]) -> None:
+    """Compress many independent inputs in shared fused device batches.
+
+    data concatenates the inputs; blob_ranges[i] = (start, end) of
+    input i, whose raw DEFLATE stream is emitted into outs[i].  All
+    inputs' masters share the fused engine's lane groups (one device
+    dispatch covers many small files — the reference's only analog is
+    the CLI's sequential per-file loop, zopfli_bin.c:191-211), with the
+    LZ77 window clamped at each input's start.
+    """
+    import os as _os
+
+    from .ops import fused_engine
+    from .squeeze_batched import devseed_collect, devseed_dispatch
+
+    engine_factory = default_engine_factory(options)
+    masters = []            # (start, end, final, blob_idx)
+    for bi, (bs, be) in enumerate(blob_ranges):
+        i = bs
+        while True:
+            fin = i + spec.MASTER_BLOCK_SIZE >= be
+            size = (be - i) if fin else spec.MASTER_BLOCK_SIZE
+            masters.append((i, i + size, fin, bi))
+            i += size
+            if i >= be:
+                break
+
+    budget = int(_os.environ.get(
+        "ZT_TILE_BUDGET", str(4 * fused_engine.LANES)))
+    chunks: list[list] = [[]]
+    acc = 0
+    for m in masters:
+        start, end = m[0], m[1]
+        est = -(-(end - start) // fused_engine.TILE) + 16
+        if chunks[-1] and acc + est > budget:
+            chunks.append([])
+            acc = 0
+        chunks[-1].append(m)
+        acc += est
+
+    pending = None
+    blob_start = {bi: bs for bi, (bs, be) in enumerate(blob_ranges)}
+
+    def blob_factory(bi):
+        """Auxiliary host engines (fixed re-parse probes) must not see
+        bytes before this input's start — clamp via a view."""
+        bs = blob_start[bi]
+        if bs == 0:
+            return engine_factory
+        return lambda d, s, e: engine_factory(d[bs:], s - bs, e - bs)
+
+    def emit_ds(p):
+        chunk, entry = p
+        results = devseed_collect(entry, options.numiterations,
+                                  trace=_devseed_trace(options.tracer,
+                                                       entry))
+        for (start, end, fin, bi), res in zip(chunk, results):
+            if res[0] == "stored":
+                add_non_compressed_block(fin, data, start, end, outs[bi])
+            else:
+                finish_part(options, fin, res[1], outs[bi],
+                            blob_factory(bi))
+    for chunk in chunks:
+        entry = devseed_dispatch(
+            data, [(start, end) for (start, end, _f, _b) in chunk],
+            options.numiterations, _seed_maxblocks(options),
+            mesh=local_mesh(),
+            window_starts=[blob_start[bi] for (_s, _e, _f, bi) in chunk])
+        if pending is not None:
+            emit_ds(pending)
+        pending = (chunk, entry)
+    emit_ds(pending)
+
+
 _LOCAL_MESH = [False]  # False = not yet built; None/Mesh once built
 
 

@@ -172,10 +172,13 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
             litcost = jnp.where(valid_t.reshape(G, TILE, LANES), litcost,
                                 scan_kernel.BIG)
 
-            cl, _ = scan(bl_t, bp_dcost.reshape(G * TILE, KBP, LANES),
-                         litcost.reshape(G * TILE, LANES), lcost_vec)
-            hist_g, plp, pdp = traceback(cl, bl_t, bd_t, lit_t,
-                                         tile_nbytes, jnp.asarray(symtab))
+            cl, cd, _ = scan(bl_t, bd_t,
+                             bp_dcost.reshape(G * TILE, KBP, LANES),
+                             litcost.reshape(G * TILE, LANES), lcost_vec)
+            if G == 1:
+                cl, cd = cl[1:], cd[1:]   # groups=1 keeps the legacy row
+            hist_g, plp, pdp = traceback(cl, cd, lit_t, tile_nbytes,
+                                         jnp.asarray(symtab))
             hist = jnp.einsum(
                 "ghl,glb->hb", hist_g.reshape(G, HB, LANES), blk_oh,
                 precision=jax.lax.Precision.HIGHEST)
@@ -343,10 +346,13 @@ class FusedSqueeze:
 
     def __init__(self, data: np.ndarray, masters,
                  interpret: bool | None = None, mesh=None,
-                 axis: str = "blocks", cand=None):
+                 axis: str = "blocks", cand=None, window_starts=None):
         """cand: optional per-master [(bp_len, bp_dist)] device arrays
         of shape (cap(master), KBP) — reused from the seed program
-        instead of rebuilding (they depend only on the input bytes)."""
+        instead of rebuilding (they depend only on the input bytes).
+        window_starts: per-master first byte the LZ77 window may reach
+        back to (default 0 = all preceding bytes; multi-file batches
+        concatenate independent inputs, so matches must not cross)."""
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self.mesh = mesh
@@ -356,6 +362,13 @@ class FusedSqueeze:
                         for (s, e, bb) in masters]
         for s, e, bb in self.masters:
             assert bb[0] == s and bb[-1] == e and e > s
+        if window_starts is None:
+            window_starts = [0] * len(self.masters)
+        self.window_starts = [int(w) for w in window_starts]
+        # Per-block window start (blocks are global across masters).
+        self.block_wstart = []
+        for (s, e, bb), w in zip(self.masters, self.window_starts):
+            self.block_wstart.extend([w] * (len(bb) - 1))
 
         # --- global blocks & tiles ---
         self.block_bounds = []     # global list of (start, end)
@@ -449,7 +462,8 @@ class FusedSqueeze:
                 bl, bd = cand[mi]
                 assert bl.shape == (cap, KBP), (bl.shape, cap, KBP)
             else:
-                prefix_len = min(instart, spec.WINDOW_SIZE)
+                prefix_len = min(instart - self.window_starts[mi],
+                                 spec.WINDOW_SIZE)
                 total = hashmatch.PREFIX + cap + 264
                 buf = np.empty(total, dtype=np.uint8)
                 buf[:hashmatch.PREFIX] = _filler(hashmatch.PREFIX)
@@ -552,7 +566,7 @@ class FusedSqueeze:
         scan = scan_kernel.make_scan(TILE, LANES, KBP,
                                      interpret=self._interpret,
                                      groups=g_local)
-        traceback = scan_kernel.make_traceback(TILE, LANES, KBP,
+        traceback = scan_kernel.make_traceback(TILE, LANES,
                                                interpret=self._interpret,
                                                groups=g_local)
         run_all = _make_run_all(scan, traceback, g_local, self.nb_pad,
@@ -667,7 +681,10 @@ class FusedSqueeze:
         mp = pos[m]
         md = dists[m].astype(np.int64)
         ml = litlens[m].astype(np.int64)
-        if (md > mp).any() or (md > spec.WINDOW_SIZE).any():
+        # Matches must stay within this block's window (which starts at
+        # the owning input's first byte in multi-file batches).
+        if (md > mp - self.block_wstart[b]).any() \
+                or (md > spec.WINDOW_SIZE).any():
             return False
         total = int(ml.sum())
         offs = np.arange(total) - np.repeat(np.cumsum(ml) - ml, ml)

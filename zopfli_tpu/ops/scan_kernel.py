@@ -1,4 +1,4 @@
-"""Pallas TPU kernels: batched min-plus squeeze DP + traceback.
+"""Pallas TPU kernel: batched min-plus squeeze DP over parse tiles.
 
 This is the TPU-native core of the zopfli algorithm: the forward DP of
 reference GetBestLengths (src/zopfli/squeeze.c:217-309) reformulated as
@@ -9,21 +9,12 @@ the per-position breakpoint table) with vector min — the VPU processes
 all lanes at once, so the sequential chain is paid once for the whole
 batch instead of once per block.
 
-The scan records ONLY the chosen edge length.  The matched distance is
-a pure function of (position, length) — bp_dist[k*] for the first
-breakpoint k* with bp_len[k*] >= length, exactly the value the
-relaxation used — so it is re-resolved during the (much cheaper)
-backward traceback instead of being carried through the wavefront.
-Dropping the distance recording removes the per-step ddist expansion
-(kbp selects on (W, lanes)) and the whole chosen-distance VMEM buffer:
-about a third of the scan kernel's vector ops and VMEM traffic.
-
 The per-position candidate breakpoints (ops.hashmatch) stream from HBM
-in position chunks; the DP state (cost window + chosen edge lengths)
+in position chunks; the DP state (cost window + chosen edge arrays)
 lives in VMEM scratch that persists across the sequential grid.
 
-Distances resolved in the traceback also mean the reference's
-FollowPath re-search (squeeze.c:338-389) has no equivalent here.
+Distances are recorded during relaxation, so the reference's FollowPath
+re-search (squeeze.c:338-389) has no equivalent here.
 """
 
 from __future__ import annotations
@@ -49,24 +40,28 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
               interpret: bool = False, groups: int = 1):
     """Build the jitted DP scan for a (tile, lanes, breakpoints) shape.
 
-    Returns fn(bp_len, bp_dcost, litcost, lcost_vec) -> (cl, cost) with
-      bp_len: (groups*tile, kbp, nt) int32 (0 len = unused slot)
-      bp_dcost: (groups*tile, kbp, nt) float32 — distance cost per bp
-      litcost: (groups*tile, nt) float32 — literal cost (BIG pads)
-      lcost_vec: (groups*W, nt) float32 — length-symbol cost, 3..258
-      cl: (groups*tile, nt) int32 — edge length chosen to reach each
-          position (row j = position j+1 of its tile; 1 = literal)
-      cost: (groups*tile, nt) float32 — final cost of each position
+    Returns fn(bp_len, bp_dist, bp_dcost, litcost, lcost_vec) ->
+    (cl, cd, cost) with
+      bp_len, bp_dist: (tile, kbp, nt) int32 (0 len = unused slot)
+      bp_dcost: (tile, kbp, nt) float32 — distance cost per breakpoint
+      litcost: (tile, nt) float32 — literal cost per position (BIG pads)
+      lcost_vec: (W, nt) float32 — length-symbol cost for lengths 3..258
+      cl, cd: (tile + 1, nt) int32 — edge chosen to reach each position
+      cost: (tile, nt) float32 — final cost of positions 1..tile
 
-    One grid serves every group — a single kernel instance and a single
-    dispatch for a whole multi-master batch.
+    With groups > 1, all position-major inputs/outputs carry a leading
+    group axis folded into rows ((groups*tile, ...); lcost_vec becomes
+    (groups*W, nt)) and one grid serves every group — a single kernel
+    instance and a single dispatch for a whole multi-master batch.  The
+    grouped variant returns raw (groups*tile, nt) cl/cd (no leading
+    zero row).
     """
     assert tile % ch == 0, (tile, ch)
     nch = tile // ch
     buf_rows = ch + SHIFT
 
-    def kern(bl_ref, bc_ref, lit_ref, lcost_ref,
-             cl_out, cost_out, buf, clb):
+    def kern(bl_ref, bd_ref, bc_ref, lit_ref, lcost_ref,
+             cl_out, cd_out, cost_out, buf, clb, cdb):
         c = pl.program_id(0)
         # Constants must be materialized inside the kernel body.
         liota = jax.lax.broadcasted_iota(jnp.int32, (W, nt), 0) + 3
@@ -76,6 +71,7 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
             buf[:, :] = jnp.full((buf_rows, nt), BIG, jnp.float32)
             buf[0, :] = jnp.zeros((nt,), jnp.float32)
             clb[:, :] = jnp.zeros((buf_rows, nt), jnp.int32)
+            cdb[:, :] = jnp.zeros((buf_rows, nt), jnp.int32)
 
         def step(j):
             cost_j = buf[pl.ds(j, 1), :][0]
@@ -86,14 +82,19 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
             buf[pl.ds(j + 1, 1), :] = jnp.where(pred, lt, old1)[None]
             clb[pl.ds(j + 1, 1), :] = jnp.where(
                 pred, 1, clb[pl.ds(j + 1, 1), :][0])[None]
+            cdb[pl.ds(j + 1, 1), :] = jnp.where(
+                pred, 0, cdb[pl.ds(j + 1, 1), :][0])[None]
 
-            # Expand breakpoints to dense per-length distance cost.
+            # Expand breakpoints to dense per-length (dist cost, dist).
             dcost = jnp.full((W, nt), BIG, jnp.float32)
+            ddist = jnp.zeros((W, nt), jnp.int32)
             for k in range(kbp - 1, -1, -1):
                 bl = bl_ref[pl.ds(j, 1), k, :][0]
                 sel = liota <= bl[None, :]
                 dcost = jnp.where(sel, bc_ref[pl.ds(j, 1), k, :][0][None, :],
                                   dcost)
+                ddist = jnp.where(sel, bd_ref[pl.ds(j, 1), k, :][0][None, :],
+                                  ddist)
 
             new = cost_j[None, :] + lcost_ref[:, :] + dcost
             old = buf[pl.ds(j + 3, W), :]
@@ -101,6 +102,8 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
             buf[pl.ds(j + 3, W), :] = jnp.where(pred, new, old)
             oldl = clb[pl.ds(j + 3, W), :]
             clb[pl.ds(j + 3, W), :] = jnp.where(pred, liota, oldl)
+            oldd = cdb[pl.ds(j + 3, W), :]
+            cdb[pl.ds(j + 3, W), :] = jnp.where(pred, ddist, oldd)
 
         if interpret:
             # Dynamic indexing keeps the trace small (the grid loop is
@@ -118,11 +121,15 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
         # Positions c*ch+1 .. c*ch+ch are final: emit and slide.
         cost_out[:, :] = buf[pl.ds(1, ch), :]
         cl_out[:, :] = clb[pl.ds(1, ch), :]
+        cd_out[:, :] = cdb[pl.ds(1, ch), :]
         buf[pl.ds(0, SHIFT), :] = buf[pl.ds(ch, SHIFT), :]
         buf[pl.ds(SHIFT, ch), :] = jnp.full((ch, nt), BIG, jnp.float32)
         clb[pl.ds(0, SHIFT), :] = clb[pl.ds(ch, SHIFT), :]
+        cdb[pl.ds(0, SHIFT), :] = cdb[pl.ds(ch, SHIFT), :]
 
     grid_in = [
+        pl.BlockSpec((ch, kbp, nt), lambda c: (c, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((ch, kbp, nt), lambda c: (c, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((ch, kbp, nt), lambda c: (c, 0, 0),
@@ -134,27 +141,35 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
     grid_out = [
         pl.BlockSpec((ch, nt), lambda c: (c, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((ch, nt), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ch, nt), lambda c: (c, 0), memory_space=pltpu.VMEM),
     ]
 
     @jax.jit
-    def run(bp_len, bp_dcost, litcost, lcost_vec):
+    def run(bp_len, bp_dist, bp_dcost, litcost, lcost_vec):
         rows = groups * tile
-        cl, cost = pl.pallas_call(
+        cl, cd, cost = pl.pallas_call(
             kern,
             grid=(groups * nch,),
             in_specs=grid_in,
             out_specs=grid_out,
             out_shape=[
                 jax.ShapeDtypeStruct((rows, nt), jnp.int32),
+                jax.ShapeDtypeStruct((rows, nt), jnp.int32),
                 jax.ShapeDtypeStruct((rows, nt), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((buf_rows, nt), jnp.float32),
                 pltpu.VMEM((buf_rows, nt), jnp.int32),
+                pltpu.VMEM((buf_rows, nt), jnp.int32),
             ],
             interpret=interpret,
-        )(bp_len, bp_dcost, litcost, lcost_vec)
-        return cl, cost
+        )(bp_len, bp_dist, bp_dcost, litcost, lcost_vec)
+        if groups > 1:
+            return cl, cd, cost
+        zero = jnp.zeros((1, nt), jnp.int32)
+        cl = jnp.concatenate([zero, cl], axis=0)
+        cd = jnp.concatenate([zero, cd], axis=0)
+        return cl, cd, cost
 
     return run
 
@@ -188,33 +203,33 @@ def symbol_range_table() -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def make_traceback(tile: int, nt: int, kbp: int, ch: int = 32,
+def make_traceback(tile: int, nt: int, ch: int = 32,
                    interpret: bool = False, groups: int = 1):
-    """Backward traceback: path symbols, resolved dists, histograms.
+    """Backward traceback kernel: path symbols + histograms, no gathers.
 
     The DP path is walked backwards in lockstep over all lanes: a
     per-lane cursor `nextpos` starts at each tile's end; at position p
     (descending) a lane is *active* iff its cursor equals p, in which
-    case edge length cl[p] is on the path.  The matched distance is
-    resolved from the breakpoint table exactly as the scan's relaxation
-    chose it: bd[k*] for the first k* with bl[k*] >= length.  Rows are
-    visited in static order, so there is zero gathering — the
-    reference's serial TraceBackwards + FollowPath (squeeze.c:317-389)
-    become 1 vector step/position.
+    case the edge (cl[p], cd[p]) is on the path.  Rows are visited in
+    static order, so there is zero gathering — the reference's serial
+    TraceBackwards (squeeze.c:317-336) becomes 1 vector step/position.
 
-    Returns fn(cl, bl, bd, lit, tile_nbytes, symtab) ->
-      (hist (groups*HBINS, nt) f32, pl (groups*tile, nt) i32,
-       pd (groups*tile, nt) i32)
-    where cl is the scan output ((groups*tile, nt), row j = position
-    j+1), bl/bd the (groups*tile, kbp, nt) breakpoint tables, lit
-    (groups*tile, nt) byte values, tile_nbytes (groups, nt).
-    pl[j] = edge length into position j+1 if on path else 0; pd = the
-    resolved distance for match edges, 0 otherwise.
+    Returns fn(cl, cd, lit, tile_nbytes, symtab) ->
+      (hist (HBINS, nt) f32, pl (tile, nt) i32, pd (tile, nt) i32)
+    where cl/cd are the scan kernel outputs WITHOUT the leading zero row
+    ((tile, nt), row j = position j+1), lit (tile, nt) byte values,
+    tile_nbytes (1, nt), symtab from symbol_range_table().
+    pl[j] = edge length into position j+1 if on path else 0; pd = dist.
+
+    With groups > 1, row-major tensors carry a folded leading group axis
+    ((groups*tile, nt); nbytes (groups, nt); hist (groups*HBINS, nt))
+    and one grid walks every group back-to-front — a single kernel
+    instance for a whole multi-master batch.
     """
     assert tile % ch == 0
     nch = tile // ch
 
-    def kern(cl_ref, bl_ref, bd_ref, lit_ref, nbyt_ref, tab_ref,
+    def kern(cl_ref, cd_ref, lit_ref, nbyt_ref, tab_ref,
              hist_out, pl_out, pd_out, nextpos, hist):
         c = pl.program_id(0)
         inner = c % nch
@@ -236,15 +251,9 @@ def make_traceback(tile: int, nt: int, kbp: int, ch: int = 32,
             np_row = nextpos[0, :]
             active = np_row == p
             l = cl_ref[pl.ds(j, 1), :][0]
+            d = cd_ref[pl.ds(j, 1), :][0]
             byte = lit_ref[pl.ds(j, 1), :][0]
             is_match = l >= 3
-            # Resolve the distance the relaxation used: first (smallest
-            # index = smallest distance) breakpoint covering length l.
-            d = jnp.zeros((nt,), jnp.int32)
-            for k in range(kbp - 1, -1, -1):
-                blk = bl_ref[pl.ds(j, 1), k, :][0]
-                d = jnp.where(l <= blk, bd_ref[pl.ds(j, 1), k, :][0], d)
-            d = jnp.where(is_match, d, 0)
 
             am = (active & is_match)[None, :]
             oh = (active & (l == 1))[None, :] & (riota == byte[None, :])
@@ -266,10 +275,8 @@ def make_traceback(tile: int, nt: int, kbp: int, ch: int = 32,
         hist_out[:, :] = hist[:, :]
 
     rev = lambda c: ((c // nch) * nch + (nch - 1 - c % nch), 0)
-    rev3 = lambda c: ((c // nch) * nch + (nch - 1 - c % nch), 0, 0)
-
     @jax.jit
-    def run(cl, bl, bd, lit, tile_nbytes, symtab):
+    def run(cl, cd, lit, tile_nbytes, symtab):
         # tile_nbytes: (groups, nt) -> 8 replicated sublane rows per
         # group (Mosaic requires sublane-divisible block shapes).
         tile_nbytes = jnp.broadcast_to(tile_nbytes[:, None, :],
@@ -281,8 +288,7 @@ def make_traceback(tile: int, nt: int, kbp: int, ch: int = 32,
             grid=(groups * nch,),
             in_specs=[
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((ch, kbp, nt), rev3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((ch, kbp, nt), rev3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, nt), lambda c: (c // nch, 0),
                              memory_space=pltpu.VMEM),
@@ -305,21 +311,12 @@ def make_traceback(tile: int, nt: int, kbp: int, ch: int = 32,
                 pltpu.VMEM((HBINS, nt), jnp.float32),
             ],
             interpret=interpret,
-        )(cl, bl, bd, lit, tile_nbytes, symtab)
+        )(cl, cd, lit, tile_nbytes, symtab)
 
     return run
 
 
-def resolve_dist_reference(bl_row: np.ndarray, bd_row: np.ndarray,
-                           l: int) -> int:
-    """Numpy oracle for the traceback's distance resolution."""
-    for k in range(len(bl_row)):
-        if l <= bl_row[k] and bl_row[k] >= spec.MIN_MATCH:
-            return int(bd_row[k])
-    return 0
-
-
-def traceback_reference(cl, bl, bd, lit, tile_nbytes):
+def traceback_reference(cl, cd, lit, tile_nbytes):
     """Numpy oracle for make_traceback (same contract, minus symtab)."""
     tile, nt = cl.shape
     hist = np.zeros((HBINS, nt), np.float32)
@@ -329,30 +326,28 @@ def traceback_reference(cl, bl, bd, lit, tile_nbytes):
         p = int(tile_nbytes[0, lane])
         while p > 0:
             l = int(cl[p - 1, lane])
+            d = int(cd[p - 1, lane])
             pl_o[p - 1, lane] = l
+            pd_o[p - 1, lane] = d
             if l >= 3:
-                d = resolve_dist_reference(bl[p - 1, :, lane],
-                                           bd[p - 1, :, lane], l)
-                pd_o[p - 1, lane] = d
                 hist[spec.LENGTH_SYMBOL[l], lane] += 1
-                if d >= 1:  # uncovered lengths (test-only) bin no dist
-                    hist[288 + spec.dist_symbol(d), lane] += 1
+                hist[288 + spec.dist_symbol(max(d, 1)), lane] += 1
             else:
                 hist[int(lit[p - 1, lane]), lane] += 1
             p -= l
     return hist, pl_o, pd_o
 
 
-def scan_reference(bp_len, bp_dcost, litcost, lcost_vec):
-    """Pure-numpy oracle for the scan kernel (tests): same contract.
+def scan_reference(bp_len, bp_dist, bp_dcost, litcost, lcost_vec):
+    """Pure-numpy oracle for the kernel (tests): same contract as make_scan.
 
-    Shapes as in make_scan (position-major, lanes last); returns
-    (cl (tile, nt), cost (tile, nt)) — row j = position j+1.
+    Shapes as in make_scan (position-major, lanes last).
     """
     tile, kbp, nt = bp_len.shape
     cost = np.full((tile + 1, nt), 1e30, np.float32)
     cost[0] = 0.0
     cl = np.zeros((tile + 1, nt), np.int32)
+    cd = np.zeros((tile + 1, nt), np.int32)
     lengths = np.arange(3, 259)[:, None]
     for j in range(tile):
         cj = cost[j]
@@ -360,11 +355,14 @@ def scan_reference(bp_len, bp_dcost, litcost, lcost_vec):
         upd = lt < cost[j + 1]
         cost[j + 1] = np.where(upd, lt, cost[j + 1])
         cl[j + 1] = np.where(upd, 1, cl[j + 1])
+        cd[j + 1] = np.where(upd, 0, cd[j + 1])
 
         dcost = np.full((W, nt), 1e30, np.float32)
+        ddist = np.zeros((W, nt), np.int32)
         for k in range(kbp - 1, -1, -1):
             sel = lengths <= bp_len[j, k][None, :]
             dcost = np.where(sel, bp_dcost[j, k][None, :], dcost)
+            ddist = np.where(sel, bp_dist[j, k][None, :], ddist)
         new = (cj[None, :] + lcost_vec + dcost).astype(np.float32)
         hi = min(j + 259, tile + 1)
         n = hi - (j + 3)
@@ -374,4 +372,5 @@ def scan_reference(bp_len, bp_dcost, litcost, lcost_vec):
         upd = new[:n] < old
         cost[j + 3:hi] = np.where(upd, new[:n], old)
         cl[j + 3:hi] = np.where(upd, lengths[:n], cl[j + 3:hi])
-    return cl[1:], cost[1:]
+        cd[j + 3:hi] = np.where(upd, ddist[:n], cd[j + 3:hi])
+    return cl, cd, cost[1:]

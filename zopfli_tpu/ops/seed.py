@@ -111,8 +111,8 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
 
     scan = scan_kernel.make_scan(TILE, LANES, KBP, interpret=interpret,
                                  groups=G)
-    traceback = scan_kernel.make_traceback(TILE, LANES, KBP,
-                                           interpret=interpret, groups=G)
+    traceback = scan_kernel.make_traceback(TILE, LANES, interpret=interpret,
+                                           groups=G)
     symtab = np.asarray(scan_kernel.symbol_range_table(), dtype=np.int32)
 
     def run(buf: jnp.ndarray, min_pos: jnp.ndarray, inend_real: jnp.ndarray):
@@ -161,9 +161,11 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
             jnp.asarray(_FIXED_LCOST)[:, None], (W, LANES))
         lcost_vec = jnp.tile(lcost_vec, (G, 1))
 
-        cl, _ = scan(bl_t, bp_dcost, litcost, lcost_vec)
+        cl, cd, _ = scan(bl_t, bd_t, bp_dcost, litcost, lcost_vec)
+        if G == 1:
+            cl, cd = cl[1:], cd[1:]
         nbytes_g = tile_nbytes.reshape(G, LANES)
-        _, plp, pdp = traceback(cl, bl_t, bd_t, lit_t, nbytes_g,
+        _, plp, pdp = traceback(cl, cd, lit_t, nbytes_g,
                                 jnp.asarray(symtab))
 
         # ---- per-lane compaction, carrying the literal byte ----
@@ -287,13 +289,15 @@ class SeedResult:
             and np.all(cover < 0.02))
 
 
-def seed_master(data: np.ndarray, instart: int, inend: int,
-                maxblocks: int = 15, interpret: bool | None = None,
-                cheap: bool = False) -> SeedResult:
-    """Run the seed program for one master; returns host-side results.
+def seed_dispatch(data: np.ndarray, instart: int, inend: int,
+                  maxblocks: int = 15, interpret: bool | None = None,
+                  cheap: bool = False, window_start: int = 0):
+    """Queue the seed program for one master; returns an async handle.
 
     cheap=True uses CHEAP_KNOBS (for masters the host probe already
     called incompressible — candidate quality is irrelevant there).
+    window_start: first byte the halo may reach back to (file start in
+    multi-file batches where `data` concatenates independent inputs).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -301,7 +305,7 @@ def seed_master(data: np.ndarray, instart: int, inend: int,
     cap = 16384
     while cap < L:
         cap *= 2
-    prefix_len = min(instart, spec.WINDOW_SIZE)
+    prefix_len = min(instart - window_start, spec.WINDOW_SIZE)
     total = hashmatch.PREFIX + cap + 264
     buf = np.empty(total, dtype=np.uint8)
     buf[:hashmatch.PREFIX] = _filler(hashmatch.PREFIX)
@@ -316,7 +320,21 @@ def seed_master(data: np.ndarray, instart: int, inend: int,
                              tuple(sorted(knobs.items())))
     out = prog(jnp.asarray(buf), jnp.int32(hashmatch.PREFIX - prefix_len),
                jnp.int32(hashmatch.PREFIX + L))
+    return (instart, inend, out)
+
+
+def seed_finish(handle) -> SeedResult:
+    """Blocking half of seed_dispatch."""
+    instart, inend, out = handle
     return SeedResult(instart, inend, *out)
+
+
+def seed_master(data: np.ndarray, instart: int, inend: int,
+                maxblocks: int = 15, interpret: bool | None = None,
+                cheap: bool = False, window_start: int = 0) -> SeedResult:
+    """Run the seed program for one master; returns host-side results."""
+    return seed_finish(seed_dispatch(data, instart, inend, maxblocks,
+                                     interpret, cheap, window_start))
 
 
 def _filler(n: int) -> np.ndarray:

@@ -185,15 +185,100 @@ def _strategy_ftypes(name, cand, spec, probe_deflate, predefined=None):
     raise ValueError(f"unknown strategy {name}")
 
 
+@dataclass
+class _Prepared:
+    """Host-side per-image state between strategy prep and IDAT deflate."""
+    opts: PNGOptions
+    rgba: np.ndarray
+    spec: EncodeSpec
+    strategies: list
+    ftypes: list            # aligned with strategies
+    raws: list              # serialized filtered streams, aligned
+    keep: tuple
+    iters: int
+
+
 def optimize(origpng: bytes, png_options: PNGOptions | None = None,
              verbose: bool = False) -> bytes:
     """ZopfliPNGOptimize (zopflipng_lib.cc:355-467).
 
     Returns the optimized PNG (caller decides keep-if-smaller).
     """
-    import zlib as _z
+    return optimize_many([origpng], png_options, verbose)[0]
+
+
+def optimize_many(pngs: list[bytes], png_options: PNGOptions | None = None,
+                  verbose: bool = False) -> list[bytes]:
+    """Batched ZopfliPNGOptimize: ALL images' (strategy x IDAT) deflate
+    jobs run through compress_many, which batches them into shared
+    fused device dispatches on the TPU engine (the reference processes
+    files strictly sequentially, zopflipng_bin.cc:291-460)."""
+    from .. import compress_many
 
     opts = png_options or PNGOptions()
+    preps = [_prepare(png, opts, verbose) for png in pngs]
+
+    jobs = [raw for p in preps for raw in p.raws]
+    if opts.use_zopfli:
+        iters_opts = {}
+        outs = []
+        # Group jobs by iteration budget (images can differ).
+        order = list(range(len(jobs)))
+        job_iters = [p.iters for p in preps for _ in p.raws]
+        outs = [None] * len(jobs)
+        for it in sorted(set(job_iters)):
+            sel = [i for i in order if job_iters[i] == it]
+            res = compress_many(
+                [jobs[i] for i in sel], "zlib",
+                Options(numiterations=it, engine=opts.engine))
+            for i, o in zip(sel, res):
+                outs[i] = o
+    else:
+        import zlib as _z
+        outs = [_z.compress(bytes(raw), 9) for raw in jobs]
+
+    results = []
+    k = 0
+    for png, p in zip(pngs, preps):
+        best_png = None
+        for name, idat in zip(p.strategies, outs[k:k + len(p.raws)]):
+            out = _assemble(p.spec, idat, p.keep)
+            if verbose:
+                print(f"strategy {name}: {len(out)} bytes")
+            if best_png is None or len(out) < len(best_png):
+                best_png = out
+        k += len(p.raws)
+        # Verify by decode + pixel compare (zopflipng_bin.cc:324-357).
+        check, _ = codec.decode(best_png)
+        if not _pixels_equal(p.rgba, check, opts.lossy_transparent):
+            raise AssertionError("verification failed: output pixels differ")
+        results.append(best_png)
+    return results
+
+
+def _assemble(spec: EncodeSpec, idat: bytes, keep) -> bytes:
+    from . import chunks as chunklib
+    ihdr = (spec.width.to_bytes(4, "big") + spec.height.to_bytes(4, "big") +
+            bytes([spec.bitdepth, spec.colortype, 0, 0, 0]))
+    out = [Chunk("IHDR", ihdr)]
+    before_plte, before_idat, after_idat = keep
+    out += before_plte
+    if spec.palette is not None:
+        out.append(Chunk("PLTE", spec.palette.astype(np.uint8).tobytes()))
+    if spec.trns:
+        out.append(Chunk("tRNS", spec.trns))
+    out += before_idat
+    out.append(Chunk("IDAT", idat))
+    out += after_idat
+    out.append(Chunk("IEND", b""))
+    return chunklib.assemble(out)
+
+
+def _prepare(origpng: bytes, opts: PNGOptions,
+             verbose: bool = False) -> _Prepared:
+    """Decode + color choice + filter search up to the IDAT deflates."""
+    import zlib as _z
+
     rgba, info = codec.decode(origpng)
     h, w = rgba.shape[:2]
 
@@ -250,7 +335,6 @@ def optimize(origpng: bytes, png_options: PNGOptions | None = None,
     raw_size = spec.scanlines.size + h
     iters = (opts.num_iterations if raw_size < 200000
              else opts.num_iterations_large)
-    full_opts = Options(numiterations=iters, engine=opts.engine)
 
     strategies = opts.filter_strategies or None
     if strategies is None:
@@ -282,33 +366,19 @@ def optimize(origpng: bytes, png_options: PNGOptions | None = None,
         except Exception:
             predefined = None
 
-    keep_before_plte, keep_before_idat, keep_after = _keepchunks(
-        info.chunks, opts.keepchunks)
+    keep = _keepchunks(info.chunks, opts.keepchunks)
 
-    # -q mode: quick stock deflate instead of the zopfli-class core
-    # (reference use_zopfli=false, zopflipng_lib.cc:51-55).
-    deflater = None
-    if not opts.use_zopfli:
-        deflater = lambda raw: _z.compress(raw, 9)
-
-    best_png = None
+    ftypes_list = []
+    raws = []
     for name in strategies:
         ftypes = _strategy_ftypes(name, cand, spec, None,
                                   predefined=predefined)
-        out = codec.encode(spec, ftypes, full_opts,
-                           (keep_before_plte, keep_before_idat, keep_after),
-                           deflater=deflater)
-        if verbose:
-            print(f"strategy {name}: {len(out)} bytes")
-        if best_png is None or len(out) < len(best_png):
-            best_png = out
+        ftypes_list.append(ftypes)
+        raws.append(filtlib.serialize(cand, np.asarray(ftypes, np.int64)))
 
-    # Verify by decode + pixel compare (zopflipng_bin.cc:324-357).
-    check, _ = codec.decode(best_png)
-    ok = _pixels_equal(rgba, check, opts.lossy_transparent)
-    if not ok:
-        raise AssertionError("verification failed: output pixels differ")
-    return best_png
+    return _Prepared(opts=opts, rgba=rgba, spec=spec,
+                     strategies=list(strategies), ftypes=ftypes_list,
+                     raws=raws, keep=keep, iters=iters)
 
 
 def _pixels_equal(a: np.ndarray, b: np.ndarray, alpha_aware: bool) -> bool:

@@ -85,7 +85,10 @@ def fused_collect(fs, handle, numiterations: int,
                 VERIFY_FAILS[0] += 1
                 # Hash collision (cryptographically unlikely): exact
                 # host fallback for this block using the best stats.
-                eng = native.BlockEngine(data, bs, be)
+                # Clamp the window at the owning input's first byte
+                # (multi-file batches concatenate independent inputs).
+                ws = fs.block_wstart[b]
+                eng = native.BlockEngine(data[ws:], bs - ws, be - ws)
                 try:
                     ll_cost = np.asarray(
                         _entropy_f64(best_sll[b]), np.float64)
@@ -111,7 +114,7 @@ def _entropy_f64(counts: np.ndarray) -> np.ndarray:
 
 def devseed_dispatch(data: np.ndarray, ranges, numiterations: int,
                      maxblocks: int = 15, mesh=None,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None, window_starts=None):
     """Seed + split + squeeze-dispatch for a chunk of masters, no greedy.
 
     ranges: [(instart, inend)].  Per master, the seed program (ops.seed)
@@ -119,6 +122,9 @@ def devseed_dispatch(data: np.ndarray, ranges, numiterations: int,
     returns seed stats + stored-exit costs in one device dispatch; the
     fused squeeze then reuses the candidate tables.  Masters whose every
     block prefers stored by a clear margin skip the squeeze entirely.
+
+    window_starts: per-range first byte the LZ77 halo may reach back to
+    (multi-file batches concatenate independent inputs into one array).
 
     Returns an opaque entry for devseed_collect().
     """
@@ -131,16 +137,27 @@ def devseed_dispatch(data: np.ndarray, ranges, numiterations: int,
         raise ValueError("numiterations must be >= 1")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if window_starts is None:
+        window_starts = [0] * len(ranges)
 
-    seeds = []
-    for (instart, inend) in ranges:
+    # All seed programs go in flight before any result is pulled: the
+    # device pipeline stays busy and the per-master host sync cost is
+    # paid once at the end (43-file PNG batches would otherwise chain
+    # 43 dispatch+sync round trips).
+    handles = []
+    for (instart, inend), ws in zip(ranges, window_starts):
         cheap = seed_mod.probably_incompressible(data, instart, inend)
-        sr = seed_mod.seed_master(data, instart, inend, maxblocks,
-                                  interpret=interpret, cheap=cheap)
+        handles.append((cheap, ws, seed_mod.seed_dispatch(
+            data, instart, inend, maxblocks, interpret=interpret,
+            cheap=cheap, window_start=ws)))
+    seeds = []
+    for (instart, inend), (cheap, ws, h) in zip(ranges, handles):
+        sr = seed_mod.seed_finish(h)
         if cheap and not sr.all_stored:
             # Probe false-positive: redo with full-quality candidates.
             sr = seed_mod.seed_master(data, instart, inend, maxblocks,
-                                      interpret=interpret, cheap=False)
+                                      interpret=interpret, cheap=False,
+                                      window_start=ws)
         seeds.append(sr)
 
     live = [i for i, sr in enumerate(seeds) if not sr.all_stored]
@@ -150,7 +167,9 @@ def devseed_dispatch(data: np.ndarray, ranges, numiterations: int,
     masters = [(ranges[i][0], ranges[i][1], seeds[i].bounds) for i in live]
     cand = [(seeds[i].bp_len, seeds[i].bp_dist) for i in live]
     fs = fused_engine.FusedSqueeze(data, masters, interpret=interpret,
-                                   mesh=mesh, cand=cand)
+                                   mesh=mesh, cand=cand,
+                                   window_starts=[window_starts[i]
+                                                  for i in live])
     # Exact density prediction from the seed parse (pow2-bucketed).
     want = int(max(seeds[i].max_lane_rows for i in live) * 1.5) + 8
     cap = 512
