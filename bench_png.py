@@ -103,19 +103,40 @@ def main() -> None:
     from PIL import Image
 
     from zopfli_tpu.png import PNGOptions, optimize
+    from zopfli_tpu.png.optimize import optimize_many
 
     build_ref()
     extra = ["--iterations=2"] if args.quick else []
     opts = (PNGOptions(num_iterations=2, num_iterations_large=2)
             if args.quick else PNGOptions())
 
+    corpus = png_corpus.files()
+    names = [n for n, _ in corpus]
+    pngs = [p for _, p in corpus]
+
+    # Ours: ONE batched call — all images' strategy x IDAT deflate jobs
+    # share fused device dispatches (the reference loops files
+    # serially, zopflipng_bin.cc:291-460); wall-clock is the whole
+    # corpus, which is the honest number for the batched design.
+    t0 = time.perf_counter()
+    try:
+        all_ours = optimize_many(pngs, opts)
+    except Exception as exc:  # noqa: BLE001 — fall back to per-file
+        print(f"batched optimize_many failed ({exc}); per-file fallback",
+              flush=True)
+        all_ours = []
+        for png in pngs:
+            try:
+                all_ours.append(optimize(png, opts))
+            except Exception:  # noqa: BLE001
+                all_ours.append(None)
+    ours_total_s = time.perf_counter() - t0
+
     rows = []
-    for name, png in png_corpus.files():
+    for name, png, ours in zip(names, pngs, all_ours):
         ref_size, ref_s = ref_optimize(png, extra)
-        t0 = time.perf_counter()
         try:
-            ours = optimize(png, opts)
-            secs = time.perf_counter() - t0
+            assert ours is not None, "optimize failed"
             assert _pixels_equal(png, ours), f"pixels differ: {name}"
             # The reference binary keeps the ORIGINAL file when the
             # recompressed one is bigger (zopflipng_bin.cc:404-457);
@@ -123,11 +144,10 @@ def main() -> None:
             # measure the binary surface.
             ours_size = min(len(ours), len(png))
         except Exception as exc:  # noqa: BLE001 — keep the table going
-            ours_size, secs = -1, 0.0
+            ours_size = -1
             print(f"FAIL {name}: {exc}", flush=True)
         rows.append({"name": name, "orig": len(png), "ref": ref_size,
-                     "ref_s": round(ref_s, 2), "ours": ours_size,
-                     "ours_s": round(secs, 2)})
+                     "ref_s": round(ref_s, 2), "ours": ours_size})
         print(f"{name}: orig={len(png)} ref={ref_size} ours={ours_size}",
               flush=True)
 
@@ -136,7 +156,7 @@ def main() -> None:
              "ref": sum(r["ref"] for r in ok),
              "ref_s": round(sum(r["ref_s"] for r in ok), 2),
              "ours": sum(r["ours"] for r in ok),
-             "ours_s": round(sum(r["ours_s"] for r in ok), 2)}
+             "ours_s": round(ours_total_s, 2)}
     rows.append(total)
     with open("bench_png.json", "w") as f:
         json.dump({"quick": args.quick, "rows": rows}, f, indent=1)
@@ -145,9 +165,10 @@ def main() -> None:
         "# ZopfliPNG parity vs reference zopflipng"
         + (" (2-iteration quick mode)" if args.quick else ""),
         "",
-        "Corpus: `png_corpus.py` (52 deterministic images across the",
-        "reference's own test dimensions).  Every output verified",
-        "pixel-identical via PIL decode.",
+        f"Corpus: `png_corpus.py` ({len(corpus)} deterministic images",
+        "across the reference's own test dimensions).  Every output",
+        "verified pixel-identical via PIL decode.  'ours' wall-clock is",
+        "ONE batched optimize_many call over the whole corpus.",
         "",
         "| image | original | reference | ours | ours/ref |",
         "|---|---|---|---|---|",
@@ -157,6 +178,11 @@ def main() -> None:
                  if r["ours"] >= 0 else "FAIL")
         lines.append(f'| {r["name"]} | {r["orig"]:,} | {r["ref"]:,} | '
                      f'{r["ours"]:,} | {ratio} |')
+    lines += [
+        "",
+        f'Wall-clock: reference {total["ref_s"]:.1f} s (per-file loop), '
+        f'ours {total["ours_s"]:.1f} s (one batched call).',
+    ]
     with open("PARITY_PNG.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps(total))

@@ -12,41 +12,44 @@ from zopfli_tpu.lz77 import LZ77Store
 from zopfli_tpu.ops import scan_kernel
 
 
-def test_scan_kernel_matches_reference():
-    rng = np.random.default_rng(5)
-    tile, nt, kbp = 128, 8, 4
-    # Random but well-formed breakpoint tables: ascending lengths.
+def _random_bp(rng, tile, kbp, nt):
+    """Random but well-formed breakpoint tables: ascending lengths."""
     bp_len = np.sort(rng.integers(0, 80, (tile, kbp, nt)), axis=1)
     bp_len = np.where(bp_len < 3, 0, bp_len).astype(np.int32)
     bp_dist = rng.integers(1, 3000, (tile, kbp, nt)).astype(np.int32)
+    return bp_len, bp_dist
+
+
+def test_scan_kernel_matches_reference():
+    rng = np.random.default_rng(5)
+    tile, nt, kbp = 128, 8, 4
+    bp_len, bp_dist = _random_bp(rng, tile, kbp, nt)
     bp_dcost = rng.uniform(1, 15, (tile, kbp, nt)).astype(np.float32)
     litcost = rng.uniform(1, 12, (tile, nt)).astype(np.float32)
     lcost = rng.uniform(1, 10, (scan_kernel.W, nt)).astype(np.float32)
 
     run = scan_kernel.make_scan(tile, nt, kbp, interpret=True)
-    cl, cd, cost = run(bp_len, bp_dist, bp_dcost, litcost, lcost)
-    rcl, rcd, rcost = scan_kernel.scan_reference(
+    ce, cost = run(bp_len, bp_dist, bp_dcost, litcost, lcost)
+    rce, rcost = scan_kernel.scan_reference(
         bp_len, bp_dist, bp_dcost, litcost, lcost)
 
     np.testing.assert_allclose(np.asarray(cost), rcost, rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(cl), rcl)
-    np.testing.assert_array_equal(np.asarray(cd), rcd)
+    np.testing.assert_array_equal(np.asarray(ce), rce)
 
 
 def test_traceback_kernel_matches_reference():
     rng = np.random.default_rng(9)
     tile, nt = 128, 8
-    # Build a plausible cl/cd: random edges, at least 1, <= position.
-    cl = np.zeros((tile, nt), np.int32)
-    cd = np.zeros((tile, nt), np.int32)
+    # Build plausible packed edges: random lengths, <= position.
+    ce = np.zeros((tile, nt), np.int32)
     for lane in range(nt):
         for p in range(1, tile + 1):
             if rng.random() < 0.7 or p < 4:
-                cl[p - 1, lane] = 1
+                ce[p - 1, lane] = 1
             else:
                 l = int(rng.integers(3, min(p, 258) + 1))
-                cl[p - 1, lane] = l
-                cd[p - 1, lane] = int(rng.integers(1, 2000))
+                d = int(rng.integers(1, 2000))
+                ce[p - 1, lane] = scan_kernel.pack_edge(l, d)
     lit = rng.integers(0, 256, (tile, nt)).astype(np.int32)
     nbyt = rng.integers(0, tile + 1, (1, nt)).astype(np.int32)
     nbyt[0, 0] = tile
@@ -54,11 +57,42 @@ def test_traceback_kernel_matches_reference():
 
     run = scan_kernel.make_traceback(tile, nt, interpret=True)
     symtab = scan_kernel.symbol_range_table()
-    hist, plp, pdp = run(cl, cd, lit, nbyt, symtab)
-    rhist, rpl, rpd = scan_kernel.traceback_reference(cl, cd, lit, nbyt)
+    hist, pep = run(ce, lit, nbyt, symtab)
+    rhist, rpe = scan_kernel.traceback_reference(ce, lit, nbyt)
     np.testing.assert_array_equal(np.asarray(hist), rhist)
-    np.testing.assert_array_equal(np.asarray(plp), rpl)
-    np.testing.assert_array_equal(np.asarray(pdp), rpd)
+    np.testing.assert_array_equal(np.asarray(pep), rpe)
+
+
+def test_scan_traceback_path_covers_tile():
+    # End-to-end kernel invariant (regression: resolving distances at
+    # the destination row instead of carrying them from the source row
+    # made paths stop covering their tiles): the traceback path's edge
+    # lengths must sum to exactly tile_nbytes for every lane, and every
+    # match edge's packed distance must be one the source row offered.
+    rng = np.random.default_rng(11)
+    tile, nt, kbp = 128, 8, 4
+    bp_len, bp_dist = _random_bp(rng, tile, kbp, nt)
+    bp_dcost = rng.uniform(1, 15, (tile, kbp, nt)).astype(np.float32)
+    litcost = rng.uniform(4, 12, (tile, nt)).astype(np.float32)
+    lcost = rng.uniform(1, 10, (scan_kernel.W, nt)).astype(np.float32)
+
+    scan = scan_kernel.make_scan(tile, nt, kbp, interpret=True)
+    ce, _ = scan(bp_len, bp_dist, bp_dcost, litcost, lcost)
+    nbyt = np.full((1, nt), tile, np.int32)
+    lit = rng.integers(0, 256, (tile, nt)).astype(np.int32)
+    tb = scan_kernel.make_traceback(tile, nt, interpret=True)
+    _, pep = tb(ce, lit, nbyt, scan_kernel.symbol_range_table())
+    pep = np.asarray(pep)
+    lens = pep & scan_kernel.LEN_MASK
+    dists = pep >> scan_kernel.LEN_BITS
+    np.testing.assert_array_equal(lens.sum(axis=0), nbyt[0])
+    for lane in range(nt):
+        for j in np.nonzero(lens[:, lane] >= 3)[0]:
+            l, d = int(lens[j, lane]), int(dists[j, lane])
+            src = j + 1 - l  # 0-based source row
+            covering = bp_len[src, :, lane] >= l
+            assert covering.any()
+            assert d in bp_dist[src, covering, lane]
 
 
 def test_batched_roundtrip(corpus):

@@ -172,13 +172,11 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
             litcost = jnp.where(valid_t.reshape(G, TILE, LANES), litcost,
                                 scan_kernel.BIG)
 
-            cl, cd, _ = scan(bl_t, bd_t,
-                             bp_dcost.reshape(G * TILE, KBP, LANES),
-                             litcost.reshape(G * TILE, LANES), lcost_vec)
-            if G == 1:
-                cl, cd = cl[1:], cd[1:]   # groups=1 keeps the legacy row
-            hist_g, plp, pdp = traceback(cl, cd, lit_t, tile_nbytes,
-                                         jnp.asarray(symtab))
+            ce, _ = scan(bl_t, bd_t,
+                         bp_dcost.reshape(G * TILE, KBP, LANES),
+                         litcost.reshape(G * TILE, LANES), lcost_vec)
+            hist_g, pep = traceback(ce, lit_t, tile_nbytes,
+                                    jnp.asarray(symtab))
             hist = jnp.einsum(
                 "ghl,glb->hb", hist_g.reshape(G, HB, LANES), blk_oh,
                 precision=jax.lax.Precision.HIGHEST)
@@ -186,14 +184,13 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
                 hist = jax.lax.psum(hist, axis)
             ll_hist = jnp.transpose(hist[:spec.NUM_LL]).astype(jnp.int32)
             d_hist = jnp.transpose(hist[spec.NUM_LL:]).astype(jnp.int32)
-            return (ll_hist, d_hist, plp.reshape(G, TILE, LANES),
-                    pdp.reshape(G, TILE, LANES))
+            return ll_hist, d_hist, pep.reshape(G, TILE, LANES)
 
         def body(i, state):
             (stats_ll, stats_d, best_cost, best_sll, best_sd,
-             last_cost, last_rand, ec, best_pl, best_pd) = state
+             last_cost, last_rand, ec, best_pe) = state
 
-            ll_hist, d_hist, plp, pdp = one_iteration(stats_ll, stats_d)
+            ll_hist, d_hist, pep = one_iteration(stats_ll, stats_d)
 
             # Exact dynamic-block bits incl. 3-bit header (squeeze.c:492).
             cost = 3 + costmodel.hist_dynamic_cost(ll_hist, d_hist)
@@ -203,8 +200,7 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
             best_sd = jnp.where(improved[:, None], stats_d, best_sd)
             lane_imp = improved[tile_block]            # (G, LANES)
             m = lane_imp[:, None, :]
-            best_pl = jnp.where(m, plp, best_pl)
-            best_pd = jnp.where(m, pdp, best_pd)
+            best_pe = jnp.where(m, pep, best_pe)
 
             # Stats feedback (squeeze.c:503-517).  Counts are integers;
             # trunc(new + 0.5*last) == new + last // 2 exactly.
@@ -229,12 +225,11 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
             last_rand = jnp.where(stuck, i, last_rand)
 
             return (next_ll, next_d, best_cost, best_sll, best_sd,
-                    cost, last_rand, ec, best_pl, best_pd)
+                    cost, last_rand, ec, best_pe)
 
         return body
 
     def init_state(seed_ll, seed_d, g: int = ngroups):
-        zeros_gp = jnp.zeros((g, TILE, LANES), jnp.int32)
         return (seed_ll, seed_d,
                 jnp.full((nb_pad,), LARGE_COST, jnp.int32),
                 jnp.zeros((nb_pad, spec.NUM_LL), jnp.int32),
@@ -242,23 +237,20 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
                 jnp.zeros((nb_pad,), jnp.int32),
                 jnp.full((nb_pad,), -1, jnp.int32),
                 jnp.zeros((nb_pad,), jnp.int32),
-                zeros_gp, zeros_gp)
+                jnp.zeros((g, TILE, LANES), jnp.int32))
 
     def finish(state):
-        (_, _, best_cost, best_sll, best_sd,
-         _, _, _, best_pl, best_pd) = state
+        (_, _, best_cost, best_sll, best_sd, _, _, _, best_pe) = state
 
-        # Compact each lane's sparse path rows to the front (stable sort
-        # by emptiness keeps rows position-ordered); positions are
-        # implied by the symbol sequence, so one int32 carries
-        # len (9 bits) | dist << 9 (dist <= 32768 < 2^16).
-        empty = (best_pl == 0).astype(jnp.int32)        # (G, TILE, LANES)
-        _, pl_c, pd_c = jax.lax.sort(
-            (empty, best_pl, best_pd), num_keys=1, is_stable=True,
-            dimension=1)
+        # Compact each lane's sparse packed path rows to the front
+        # (stable sort by emptiness keeps rows position-ordered);
+        # positions are implied by the symbol sequence, and the packed
+        # len | dist << 9 format is exactly what the host decode reads.
+        empty = (best_pe == 0).astype(jnp.int32)        # (G, TILE, LANES)
+        _, pe_c = jax.lax.sort(
+            (empty, best_pe), num_keys=1, is_stable=True, dimension=1)
         nsym = jnp.sum(1 - empty, axis=1)               # (G, LANES)
-        packed = (pl_c[:, :fetch_cap, :]
-                  | (pd_c[:, :fetch_cap, :] << 9)).astype(jnp.int32)
+        packed = pe_c[:, :fetch_cap, :]
         return best_cost, best_sll, best_sd, nsym, packed
 
     # shard_map partition specs: group-major tensors sharded over the
@@ -273,7 +265,7 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
                       P(ax, None), P(ax, None), P(ax, None, None),
                       P(), P(), P(), P())
         STATE_SPECS = (P(), P(), P(), P(), P(), P(), P(), P(),
-                       P(ax, None, None), P(ax, None, None))
+                       P(ax, None, None))
         OUT_SPECS = (P(), P(), P(), P(ax, None), P(ax, None, None))
 
         def smap(fn, in_specs, out_specs):

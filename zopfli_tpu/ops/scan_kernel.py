@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: batched min-plus squeeze DP over parse tiles.
+"""Pallas TPU kernels: batched min-plus squeeze DP + traceback.
 
 This is the TPU-native core of the zopfli algorithm: the forward DP of
 reference GetBestLengths (src/zopfli/squeeze.c:217-309) reformulated as
@@ -9,8 +9,19 @@ the per-position breakpoint table) with vector min — the VPU processes
 all lanes at once, so the sequential chain is paid once for the whole
 batch instead of once per block.
 
+The chosen edge is carried as ONE packed int32 per position:
+`len | dist << 9` (len <= 258 fits 9 bits, dist <= 32768 fits 16; a
+literal edge is the value 1).  The distance MUST be captured during the
+relaxation — it is a function of the edge's SOURCE position (p - len),
+which only the forward scan has in hand; resolving it later from the
+destination row looks plausible and is wrong (see the regression test
+in tests/test_batched.py).  Packing halves the chosen-edge VMEM state
+and drops one output stream versus separate len/dist buffers, and the
+packed value flows unchanged through the traceback, the keep-best
+state, the lane compaction sort, and the d2h fetch.
+
 The per-position candidate breakpoints (ops.hashmatch) stream from HBM
-in position chunks; the DP state (cost window + chosen edge arrays)
+in position chunks; the DP state (cost window + chosen packed edges)
 lives in VMEM scratch that persists across the sequential grid.
 
 Distances are recorded during relaxation, so the reference's FollowPath
@@ -33,6 +44,13 @@ from .. import spec
 BIG = 1e30  # python float: jnp scalars would be captured consts in kernels
 W = 256          # match lengths 3..258
 SHIFT = 272      # carried window rows (>= 258, multiple of 16)
+LEN_BITS = 9     # packed edge: len | dist << LEN_BITS
+LEN_MASK = (1 << LEN_BITS) - 1
+
+
+def pack_edge(length, dist):
+    """Pack an edge as the kernels carry it (numpy/jnp int32)."""
+    return length | (dist << LEN_BITS)
 
 
 @functools.lru_cache(maxsize=None)
@@ -41,27 +59,25 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
     """Build the jitted DP scan for a (tile, lanes, breakpoints) shape.
 
     Returns fn(bp_len, bp_dist, bp_dcost, litcost, lcost_vec) ->
-    (cl, cd, cost) with
-      bp_len, bp_dist: (tile, kbp, nt) int32 (0 len = unused slot)
-      bp_dcost: (tile, kbp, nt) float32 — distance cost per breakpoint
-      litcost: (tile, nt) float32 — literal cost per position (BIG pads)
-      lcost_vec: (W, nt) float32 — length-symbol cost for lengths 3..258
-      cl, cd: (tile + 1, nt) int32 — edge chosen to reach each position
-      cost: (tile, nt) float32 — final cost of positions 1..tile
+    (ce, cost) with
+      bp_len, bp_dist: (groups*tile, kbp, nt) int32 (0 len = unused)
+      bp_dcost: (groups*tile, kbp, nt) float32 — distance cost per bp
+      litcost: (groups*tile, nt) float32 — literal cost (BIG pads)
+      lcost_vec: (groups*W, nt) float32 — length-symbol cost, 3..258
+      ce: (groups*tile, nt) int32 — PACKED edge (len | dist << 9)
+          chosen to reach each position (row j = position j+1 of its
+          tile; the literal edge is the value 1)
+      cost: (groups*tile, nt) float32 — final cost of each position
 
-    With groups > 1, all position-major inputs/outputs carry a leading
-    group axis folded into rows ((groups*tile, ...); lcost_vec becomes
-    (groups*W, nt)) and one grid serves every group — a single kernel
-    instance and a single dispatch for a whole multi-master batch.  The
-    grouped variant returns raw (groups*tile, nt) cl/cd (no leading
-    zero row).
+    One grid serves every group — a single kernel instance and a single
+    dispatch for a whole multi-master batch.
     """
     assert tile % ch == 0, (tile, ch)
     nch = tile // ch
     buf_rows = ch + SHIFT
 
     def kern(bl_ref, bd_ref, bc_ref, lit_ref, lcost_ref,
-             cl_out, cd_out, cost_out, buf, clb, cdb):
+             ce_out, cost_out, buf, ceb):
         c = pl.program_id(0)
         # Constants must be materialized inside the kernel body.
         liota = jax.lax.broadcasted_iota(jnp.int32, (W, nt), 0) + 3
@@ -70,40 +86,40 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
         def _():
             buf[:, :] = jnp.full((buf_rows, nt), BIG, jnp.float32)
             buf[0, :] = jnp.zeros((nt,), jnp.float32)
-            clb[:, :] = jnp.zeros((buf_rows, nt), jnp.int32)
-            cdb[:, :] = jnp.zeros((buf_rows, nt), jnp.int32)
+            ceb[:, :] = jnp.zeros((buf_rows, nt), jnp.int32)
 
         def step(j):
             cost_j = buf[pl.ds(j, 1), :][0]
-            # Literal edge j -> j+1.
+            # Literal edge j -> j+1 (packed value 1: len 1, dist 0).
             lt = cost_j + lit_ref[pl.ds(j, 1), :][0]
             old1 = buf[pl.ds(j + 1, 1), :][0]
             pred = lt < old1
             buf[pl.ds(j + 1, 1), :] = jnp.where(pred, lt, old1)[None]
-            clb[pl.ds(j + 1, 1), :] = jnp.where(
-                pred, 1, clb[pl.ds(j + 1, 1), :][0])[None]
-            cdb[pl.ds(j + 1, 1), :] = jnp.where(
-                pred, 0, cdb[pl.ds(j + 1, 1), :][0])[None]
+            ceb[pl.ds(j + 1, 1), :] = jnp.where(
+                pred, 1, ceb[pl.ds(j + 1, 1), :][0])[None]
 
-            # Expand breakpoints to dense per-length (dist cost, dist).
+            # Expand breakpoints to dense per-length (dist cost, packed
+            # edge).  The packed edge captures the SOURCE row's distance
+            # — the only point in the pipeline where it is available.
             dcost = jnp.full((W, nt), BIG, jnp.float32)
-            ddist = jnp.zeros((W, nt), jnp.int32)
+            dedge = liota
             for k in range(kbp - 1, -1, -1):
                 bl = bl_ref[pl.ds(j, 1), k, :][0]
                 sel = liota <= bl[None, :]
                 dcost = jnp.where(sel, bc_ref[pl.ds(j, 1), k, :][0][None, :],
                                   dcost)
-                ddist = jnp.where(sel, bd_ref[pl.ds(j, 1), k, :][0][None, :],
-                                  ddist)
+                dedge = jnp.where(
+                    sel,
+                    liota | (bd_ref[pl.ds(j, 1), k, :][0][None, :]
+                             << LEN_BITS),
+                    dedge)
 
             new = cost_j[None, :] + lcost_ref[:, :] + dcost
             old = buf[pl.ds(j + 3, W), :]
             pred = new < old
             buf[pl.ds(j + 3, W), :] = jnp.where(pred, new, old)
-            oldl = clb[pl.ds(j + 3, W), :]
-            clb[pl.ds(j + 3, W), :] = jnp.where(pred, liota, oldl)
-            oldd = cdb[pl.ds(j + 3, W), :]
-            cdb[pl.ds(j + 3, W), :] = jnp.where(pred, ddist, oldd)
+            olde = ceb[pl.ds(j + 3, W), :]
+            ceb[pl.ds(j + 3, W), :] = jnp.where(pred, dedge, olde)
 
         if interpret:
             # Dynamic indexing keeps the trace small (the grid loop is
@@ -120,12 +136,10 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
 
         # Positions c*ch+1 .. c*ch+ch are final: emit and slide.
         cost_out[:, :] = buf[pl.ds(1, ch), :]
-        cl_out[:, :] = clb[pl.ds(1, ch), :]
-        cd_out[:, :] = cdb[pl.ds(1, ch), :]
+        ce_out[:, :] = ceb[pl.ds(1, ch), :]
         buf[pl.ds(0, SHIFT), :] = buf[pl.ds(ch, SHIFT), :]
         buf[pl.ds(SHIFT, ch), :] = jnp.full((ch, nt), BIG, jnp.float32)
-        clb[pl.ds(0, SHIFT), :] = clb[pl.ds(ch, SHIFT), :]
-        cdb[pl.ds(0, SHIFT), :] = cdb[pl.ds(ch, SHIFT), :]
+        ceb[pl.ds(0, SHIFT), :] = ceb[pl.ds(ch, SHIFT), :]
 
     grid_in = [
         pl.BlockSpec((ch, kbp, nt), lambda c: (c, 0, 0),
@@ -141,35 +155,27 @@ def make_scan(tile: int, nt: int, kbp: int, ch: int = 16,
     grid_out = [
         pl.BlockSpec((ch, nt), lambda c: (c, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((ch, nt), lambda c: (c, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((ch, nt), lambda c: (c, 0), memory_space=pltpu.VMEM),
     ]
 
     @jax.jit
     def run(bp_len, bp_dist, bp_dcost, litcost, lcost_vec):
         rows = groups * tile
-        cl, cd, cost = pl.pallas_call(
+        ce, cost = pl.pallas_call(
             kern,
             grid=(groups * nch,),
             in_specs=grid_in,
             out_specs=grid_out,
             out_shape=[
                 jax.ShapeDtypeStruct((rows, nt), jnp.int32),
-                jax.ShapeDtypeStruct((rows, nt), jnp.int32),
                 jax.ShapeDtypeStruct((rows, nt), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((buf_rows, nt), jnp.float32),
                 pltpu.VMEM((buf_rows, nt), jnp.int32),
-                pltpu.VMEM((buf_rows, nt), jnp.int32),
             ],
             interpret=interpret,
         )(bp_len, bp_dist, bp_dcost, litcost, lcost_vec)
-        if groups > 1:
-            return cl, cd, cost
-        zero = jnp.zeros((1, nt), jnp.int32)
-        cl = jnp.concatenate([zero, cl], axis=0)
-        cd = jnp.concatenate([zero, cd], axis=0)
-        return cl, cd, cost
+        return ce, cost
 
     return run
 
@@ -205,32 +211,29 @@ def symbol_range_table() -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def make_traceback(tile: int, nt: int, ch: int = 32,
                    interpret: bool = False, groups: int = 1):
-    """Backward traceback kernel: path symbols + histograms, no gathers.
+    """Backward traceback kernel: path edges + histograms, no gathers.
 
     The DP path is walked backwards in lockstep over all lanes: a
     per-lane cursor `nextpos` starts at each tile's end; at position p
     (descending) a lane is *active* iff its cursor equals p, in which
-    case the edge (cl[p], cd[p]) is on the path.  Rows are visited in
+    case the packed edge ce[p] is on the path.  Rows are visited in
     static order, so there is zero gathering — the reference's serial
     TraceBackwards (squeeze.c:317-336) becomes 1 vector step/position.
 
-    Returns fn(cl, cd, lit, tile_nbytes, symtab) ->
-      (hist (HBINS, nt) f32, pl (tile, nt) i32, pd (tile, nt) i32)
-    where cl/cd are the scan kernel outputs WITHOUT the leading zero row
-    ((tile, nt), row j = position j+1), lit (tile, nt) byte values,
-    tile_nbytes (1, nt), symtab from symbol_range_table().
-    pl[j] = edge length into position j+1 if on path else 0; pd = dist.
-
-    With groups > 1, row-major tensors carry a folded leading group axis
-    ((groups*tile, nt); nbytes (groups, nt); hist (groups*HBINS, nt))
-    and one grid walks every group back-to-front — a single kernel
-    instance for a whole multi-master batch.
+    Returns fn(ce, lit, tile_nbytes, symtab) ->
+      (hist (groups*HBINS, nt) f32, pe (groups*tile, nt) i32)
+    where ce is the scan output ((groups*tile, nt) packed edges, row j
+    = position j+1), lit (groups*tile, nt) byte values, tile_nbytes
+    (groups, nt), symtab from symbol_range_table().
+    pe[j] = the packed edge into position j+1 if on the path, else 0 —
+    the exact format the fused engine's keep-best/compaction and the
+    host decode consume.
     """
     assert tile % ch == 0
     nch = tile // ch
 
-    def kern(cl_ref, cd_ref, lit_ref, nbyt_ref, tab_ref,
-             hist_out, pl_out, pd_out, nextpos, hist):
+    def kern(ce_ref, lit_ref, nbyt_ref, tab_ref,
+             hist_out, pe_out, nextpos, hist):
         c = pl.program_id(0)
         inner = c % nch
         base = (nch - 1 - inner) * ch
@@ -250,8 +253,9 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
             p = base + j + 1
             np_row = nextpos[0, :]
             active = np_row == p
-            l = cl_ref[pl.ds(j, 1), :][0]
-            d = cd_ref[pl.ds(j, 1), :][0]
+            v = ce_ref[pl.ds(j, 1), :][0]
+            l = v & LEN_MASK
+            d = v >> LEN_BITS
             byte = lit_ref[pl.ds(j, 1), :][0]
             is_match = l >= 3
 
@@ -261,8 +265,7 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
             oh |= am & (d[None, :] >= d_lo) & (d[None, :] < d_hi)
             hist[:, :] = hist[:, :] + oh.astype(jnp.float32)
 
-            pl_out[pl.ds(j, 1), :] = jnp.where(active, l, 0)[None]
-            pd_out[pl.ds(j, 1), :] = jnp.where(active, d, 0)[None]
+            pe_out[pl.ds(j, 1), :] = jnp.where(active, v, 0)[None]
             nextpos[0, :] = jnp.where(active, p - l, np_row)
 
         if interpret:
@@ -276,7 +279,7 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
 
     rev = lambda c: ((c // nch) * nch + (nch - 1 - c % nch), 0)
     @jax.jit
-    def run(cl, cd, lit, tile_nbytes, symtab):
+    def run(ce, lit, tile_nbytes, symtab):
         # tile_nbytes: (groups, nt) -> 8 replicated sublane rows per
         # group (Mosaic requires sublane-divisible block shapes).
         tile_nbytes = jnp.broadcast_to(tile_nbytes[:, None, :],
@@ -289,7 +292,6 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
             in_specs=[
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, nt), lambda c: (c // nch, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((HBINS, 8), lambda c: (0, 0),
@@ -299,11 +301,9 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
                 pl.BlockSpec((HBINS, nt), lambda c: (c // nch, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
-                pl.BlockSpec((ch, nt), rev, memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((groups * HBINS, nt), jnp.float32),
-                jax.ShapeDtypeStruct((rows, nt), jnp.int32),
                 jax.ShapeDtypeStruct((rows, nt), jnp.int32),
             ],
             scratch_shapes=[
@@ -311,58 +311,58 @@ def make_traceback(tile: int, nt: int, ch: int = 32,
                 pltpu.VMEM((HBINS, nt), jnp.float32),
             ],
             interpret=interpret,
-        )(cl, cd, lit, tile_nbytes, symtab)
+        )(ce, lit, tile_nbytes, symtab)
 
     return run
 
 
-def traceback_reference(cl, cd, lit, tile_nbytes):
+def traceback_reference(ce, lit, tile_nbytes):
     """Numpy oracle for make_traceback (same contract, minus symtab)."""
-    tile, nt = cl.shape
+    tile, nt = ce.shape
     hist = np.zeros((HBINS, nt), np.float32)
-    pl_o = np.zeros((tile, nt), np.int32)
-    pd_o = np.zeros((tile, nt), np.int32)
+    pe_o = np.zeros((tile, nt), np.int32)
     for lane in range(nt):
         p = int(tile_nbytes[0, lane])
         while p > 0:
-            l = int(cl[p - 1, lane])
-            d = int(cd[p - 1, lane])
-            pl_o[p - 1, lane] = l
-            pd_o[p - 1, lane] = d
+            v = int(ce[p - 1, lane])
+            l = v & LEN_MASK
+            d = v >> LEN_BITS
+            pe_o[p - 1, lane] = v
             if l >= 3:
                 hist[spec.LENGTH_SYMBOL[l], lane] += 1
                 hist[288 + spec.dist_symbol(max(d, 1)), lane] += 1
             else:
                 hist[int(lit[p - 1, lane]), lane] += 1
             p -= l
-    return hist, pl_o, pd_o
+    return hist, pe_o
 
 
 def scan_reference(bp_len, bp_dist, bp_dcost, litcost, lcost_vec):
-    """Pure-numpy oracle for the kernel (tests): same contract as make_scan.
+    """Pure-numpy oracle for the scan kernel (tests): same contract.
 
-    Shapes as in make_scan (position-major, lanes last).
+    Shapes as in make_scan (position-major, lanes last); returns
+    (ce (tile, nt) packed edges, cost (tile, nt)) — row j = pos j+1.
     """
     tile, kbp, nt = bp_len.shape
     cost = np.full((tile + 1, nt), 1e30, np.float32)
     cost[0] = 0.0
-    cl = np.zeros((tile + 1, nt), np.int32)
-    cd = np.zeros((tile + 1, nt), np.int32)
+    ce = np.zeros((tile + 1, nt), np.int32)
     lengths = np.arange(3, 259)[:, None]
     for j in range(tile):
         cj = cost[j]
         lt = (cj + litcost[j]).astype(np.float32)
         upd = lt < cost[j + 1]
         cost[j + 1] = np.where(upd, lt, cost[j + 1])
-        cl[j + 1] = np.where(upd, 1, cl[j + 1])
-        cd[j + 1] = np.where(upd, 0, cd[j + 1])
+        ce[j + 1] = np.where(upd, 1, ce[j + 1])
 
         dcost = np.full((W, nt), 1e30, np.float32)
-        ddist = np.zeros((W, nt), np.int32)
+        dedge = np.broadcast_to(lengths, (W, nt)).astype(np.int32)
         for k in range(kbp - 1, -1, -1):
             sel = lengths <= bp_len[j, k][None, :]
             dcost = np.where(sel, bp_dcost[j, k][None, :], dcost)
-            ddist = np.where(sel, bp_dist[j, k][None, :], ddist)
+            dedge = np.where(sel,
+                             lengths | (bp_dist[j, k][None, :] << LEN_BITS),
+                             dedge)
         new = (cj[None, :] + lcost_vec + dcost).astype(np.float32)
         hi = min(j + 259, tile + 1)
         n = hi - (j + 3)
@@ -371,6 +371,5 @@ def scan_reference(bp_len, bp_dist, bp_dcost, litcost, lcost_vec):
         old = cost[j + 3:hi]
         upd = new[:n] < old
         cost[j + 3:hi] = np.where(upd, new[:n], old)
-        cl[j + 3:hi] = np.where(upd, lengths[:n], cl[j + 3:hi])
-        cd[j + 3:hi] = np.where(upd, ddist[:n], cd[j + 3:hi])
-    return cl, cd, cost[1:]
+        ce[j + 3:hi] = np.where(upd, dedge[:n], ce[j + 3:hi])
+    return ce[1:], cost[1:]

@@ -161,21 +161,19 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
             jnp.asarray(_FIXED_LCOST)[:, None], (W, LANES))
         lcost_vec = jnp.tile(lcost_vec, (G, 1))
 
-        cl, cd, _ = scan(bl_t, bd_t, bp_dcost, litcost, lcost_vec)
-        if G == 1:
-            cl, cd = cl[1:], cd[1:]
+        ce, _ = scan(bl_t, bd_t, bp_dcost, litcost, lcost_vec)
         nbytes_g = tile_nbytes.reshape(G, LANES)
-        _, plp, pdp = traceback(cl, cd, lit_t, nbytes_g,
-                                jnp.asarray(symtab))
+        _, pep = traceback(ce, lit_t, nbytes_g, jnp.asarray(symtab))
 
         # ---- per-lane compaction, carrying the literal byte ----
-        plg = plp.reshape(G, TILE, LANES)
-        pdg = pdp.reshape(G, TILE, LANES)
+        peg = pep.reshape(G, TILE, LANES)
         litg = lit_t.reshape(G, TILE, LANES)
-        empty = (plg == 0).astype(jnp.int32)
-        _, pl_c, pd_c, lit_c = jax.lax.sort(
-            (empty, plg, pdg, litg), num_keys=1, is_stable=True,
+        empty = (peg == 0).astype(jnp.int32)
+        _, pe_c, lit_c = jax.lax.sort(
+            (empty, peg, litg), num_keys=1, is_stable=True,
             dimension=1)
+        pl_c = pe_c & scan_kernel.LEN_MASK
+        pd_c = pe_c >> scan_kernel.LEN_BITS
         nsym_lane = jnp.sum(1 - empty, axis=1)           # (G, LANES)
 
         # ---- global symbol stream (position order = lane order) ----

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import sys
 
-from .optimize import PNGOptions, optimize
+from .optimize import PNGOptions, optimize, optimize_many
 
 USAGE = """Usage: zopfli_tpu_png [options] infile.png outfile.png
        zopfli_tpu_png [options] [--prefix=pre_] file1.png file2.png ...
@@ -114,15 +114,30 @@ def main(argv: list[str] | None = None) -> int:
                                   prefix + os.path.basename(f)))
                  for f in files]
 
-    total_in = total_out = 0
-    for infile, outfile in pairs:
-        orig = open(infile, "rb").read()
+    origs = [open(infile, "rb").read() for infile, _ in pairs]
+    # Batched path: all files' strategy x IDAT deflates share fused
+    # device dispatches (the reference loops files serially,
+    # zopflipng_bin.cc:291-460).  Any failure demotes to the per-file
+    # loop so one bad image keeps its original without sinking the rest.
+    outs = None
+    if len(pairs) > 1:
         try:
-            out = optimize(orig, opts, verbose=verbose)
-        except Exception as e:
-            print(f"{infile}: optimization failed ({e}); keeping original",
-                  file=sys.stderr)
-            out = orig
+            outs = optimize_many(origs, opts, verbose=verbose)
+        except Exception:
+            outs = None
+
+    total_in = total_out = 0
+    for i, (infile, outfile) in enumerate(pairs):
+        orig = origs[i]
+        if outs is not None:
+            out = outs[i]
+        else:
+            try:
+                out = optimize(orig, opts, verbose=verbose)
+            except Exception as e:
+                print(f"{infile}: optimization failed ({e}); "
+                      "keeping original", file=sys.stderr)
+                out = orig
         if len(out) >= len(orig) and not always_zopflify:
             out = orig  # keep original if not smaller (zopflipng_bin.cc:404)
         total_in += len(orig)
