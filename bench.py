@@ -98,8 +98,12 @@ def main() -> None:
     # (first-process Pallas compiles cost minutes; the persistent XLA
     # cache makes later processes fast but the timed run must not pay).
     opts = Options(engine=engine, numiterations=ITERS)
+    t0 = time.perf_counter()
     zopfli_tpu.compress(data, "gzip", opts)
+    warm_s = time.perf_counter() - t0
 
+    from zopfli_tpu import squeeze_batched as _sb
+    fails_before = _sb.VERIFY_FAILS[0]
     t0 = time.perf_counter()
     out = zopfli_tpu.compress(data, "gzip", opts)
     secs = time.perf_counter() - t0
@@ -118,6 +122,12 @@ def main() -> None:
         "size_vs_ref": round(len(out) / ref_size, 5),
         "seconds": round(secs, 3),
         "ref_seconds": round(ref_s, 3),
+        # Honesty fields (VERDICT r2 weak 5): the timed run is in-
+        # process warm; a fresh process pays first_call_seconds once.
+        # native_fallbacks must be 0 or the timing is fallback-tainted.
+        "timing": "warm_in_process",
+        "first_call_seconds": round(warm_s, 3),
+        "native_fallbacks": _sb.VERIFY_FAILS[0] - fails_before,
     }))
 
 
