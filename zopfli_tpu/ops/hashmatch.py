@@ -67,8 +67,20 @@ NEIGHBORS = 8
 # Levels that get a dedicated most-recent-occurrence candidate (the
 # min-distance occurrence per ladder length — the quantized "sublen"
 # short/mid range where distance precision drives the cost model; long
-# lengths are covered by the suffix neighbors).
-RECENT_LEVELS = (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 48, 64)
+# lengths are covered by the suffix neighbors).  Denser presets shrink
+# the just-above-a-rung quantization loss on periodic data (log/xml
+# lines recur at one period with slightly varying lengths, so one
+# recent per coarse rung loses the longer occurrences — see
+# PARITY_CORPUS xml/log rows).  ZT_RECENT_LEVELS selects a preset.
+_RECENT_PRESETS = {
+    "base": (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 48, 64),
+    # Step-4 rungs across 32..64 erase the xml/log quantization loss
+    # (measured: xml_mime +1.03% -> +0.25%, log_repetitive +1.31% ->
+    # +0.42% vs native on 384 KB slices); rungs above 64 add nothing.
+    "dense": (3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 36, 40,
+              44, 48, 52, 56, 60, 64),
+}
+RECENT_LEVELS = _RECENT_PRESETS[os.environ.get("ZT_RECENT_LEVELS", "dense")]
 # Breakpoint slots per position in the condensed sublen table.  8 slots
 # match the reference's own sublen cache (util.h:68-74); dropping an
 # interior breakpoint only widens the distance used for its range.
@@ -82,7 +94,7 @@ MAX_BP = int(os.environ.get("ZT_MAX_BP", "12"))
 # 'LDD' measures best on the mixed 1 MiB benchmark; 'LRD'/'LRDD' help
 # log-like periodic data (fewer missing just-above-rung lengths) at a
 # small cost on text.
-_refine_env = os.environ.get("ZT_REFINE", "LDD")
+_refine_env = os.environ.get("ZT_REFINE", "LDD2")
 if _refine_env.isdigit():
     _n = int(_refine_env)
     REFINE_PLAN = "L" * min(_n, 2) + "D" * max(_n - 2, 0)
@@ -95,7 +107,7 @@ else:
 SHORT_DISTS = int(os.environ.get("ZT_SHORT_DISTS", "16"))
 # k=2 recents: add a 2nd most-recent occurrence column per rung for
 # rungs >= this value (0 = off).  Pairs with a '2' refinement round.
-RECENT_K2_MIN = int(os.environ.get("ZT_RECENT_K2", "0"))
+RECENT_K2_MIN = int(os.environ.get("ZT_RECENT_K2", "16"))
 
 # Engine-level candidate knobs: the fused engine reads these at table
 # build time, so an in-process experiment can A/B variants while the
@@ -106,6 +118,7 @@ KNOBS = {
     "refine_plan": REFINE_PLAN,
     "short_dists": SHORT_DISTS,
     "recent_k2_min": RECENT_K2_MIN,
+    "recent_levels": RECENT_LEVELS,
 }
 
 
@@ -165,10 +178,11 @@ def _ladder(data_padded: jnp.ndarray,
 
     decomp = {3: (2, 1), 5: (4, 1), 6: (4, 2), 7: (4, 2, 1),
               10: (8, 2), 12: (8, 4), 14: (8, 4, 2), 20: (16, 4),
-              24: (16, 8), 28: (16, 8, 4), 40: (32, 8), 48: (32, 16),
-              56: (32, 16, 8), 80: (64, 16), 96: (64, 32),
-              112: (64, 32, 16), 160: (128, 32), 192: (128, 64),
-              224: (128, 64, 32)}
+              24: (16, 8), 28: (16, 8, 4), 36: (32, 4), 40: (32, 8),
+              44: (32, 8, 4), 48: (32, 16), 52: (32, 16, 4),
+              56: (32, 16, 8), 60: (32, 16, 8, 4), 80: (64, 16),
+              96: (64, 32), 112: (64, 32, 16), 160: (128, 32),
+              192: (128, 64), 224: (128, 64, 32)}
     for lvl, parts in decomp.items():
         h[lvl] = compose(parts)
 
@@ -188,14 +202,15 @@ PREFIX = spec.WINDOW_SIZE
 @functools.partial(
     jax.jit,
     static_argnames=("block_cap", "sort_levels", "refine_plan", "max_bp",
-                     "short_dists", "recent_k2_min"))
+                     "short_dists", "recent_k2_min", "recent_levels"))
 def build_candidates(data_padded: jnp.ndarray, block_cap: int,
                      min_pos: jnp.ndarray, inend_real: jnp.ndarray,
                      *, sort_levels: tuple = SORT_LEVELS,
                      refine_plan: str = REFINE_PLAN,
                      max_bp: int = MAX_BP,
                      short_dists: int = SHORT_DISTS,
-                     recent_k2_min: int = RECENT_K2_MIN):
+                     recent_k2_min: int = RECENT_K2_MIN,
+                     recent_levels: tuple = RECENT_LEVELS):
     """Per-position condensed sublen tables for a block.
 
     data_padded: uint8 of length PREFIX + block_cap + >=258; the block
@@ -333,9 +348,9 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # each ladder length (distance precision for short/mid matches).
     # All levels ride ONE batched stable sort (identical per-row results
     # to the per-level sorts; dimension=1 sorts rows independently).
-    nr = len(RECENT_LEVELS)
-    keys = jnp.stack([h[lvl] for lvl in RECENT_LEVELS])        # (R, n)
-    keys2 = jnp.stack([h2[lvl] for lvl in RECENT_LEVELS])
+    nr = len(recent_levels)
+    keys = jnp.stack([h[lvl] for lvl in recent_levels])        # (R, n)
+    keys2 = jnp.stack([h2[lvl] for lvl in recent_levels])
     idx_b = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
                              keys.shape)
     sk, si, sk2 = jax.lax.sort((keys, idx_b, keys2), num_keys=1,
@@ -356,7 +371,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
 
     ln_parts = [ln_n]
     dist_parts = [dist_n]
-    lvl_arr = np.asarray(RECENT_LEVELS, np.int32)
+    lvl_arr = np.asarray(recent_levels, np.int32)
     valid_r = recent_all >= 0
     dist_r = jnp.where(valid_r, pos.T - recent_all, spec.WINDOW_SIZE + 1)
     ln_r = jnp.where(valid_r, lvl_arr[:, None], 0)
@@ -369,7 +384,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # they only matter once a refinement round extends them (kind '2').
     n_k2 = 0
     if recent_k2_min:
-        k2_rows = [i for i, lvl in enumerate(RECENT_LEVELS)
+        k2_rows = [i for i, lvl in enumerate(recent_levels)
                    if lvl >= recent_k2_min]
         n_k2 = len(k2_rows)
         rows_a = np.asarray(k2_rows, np.int32)
@@ -447,7 +462,7 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
             # per rung, so this extends the highest rung reachable at a
             # small distance (log-period matches sit just above it).
             rsel = np.zeros(C, bool)
-            rsel[n_neigh:n_neigh + len(RECENT_LEVELS)] = True
+            rsel[n_neigh:n_neigh + len(recent_levels)] = True
             bestk = jnp.argmax(
                 jnp.where(jnp.asarray(rsel)[None, :], lcp_work, 0), axis=1)
         elif kind == "2":

@@ -68,6 +68,7 @@ CHEAP_KNOBS = {
     "refine_plan": "",
     "short_dists": 4,
     "recent_k2_min": 0,
+    "recent_levels": (3, 4, 6, 8, 12, 16, 24, 32),
 }
 
 
