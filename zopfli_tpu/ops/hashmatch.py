@@ -119,6 +119,7 @@ KNOBS = {
     "short_dists": SHORT_DISTS,
     "recent_k2_min": RECENT_K2_MIN,
     "recent_levels": RECENT_LEVELS,
+    "sort_group": 0,
 }
 
 
@@ -202,7 +203,8 @@ PREFIX = spec.WINDOW_SIZE
 @functools.partial(
     jax.jit,
     static_argnames=("block_cap", "sort_levels", "refine_plan", "max_bp",
-                     "short_dists", "recent_k2_min", "recent_levels"))
+                     "short_dists", "recent_k2_min", "recent_levels",
+                     "sort_group"))
 def build_candidates(data_padded: jnp.ndarray, block_cap: int,
                      min_pos: jnp.ndarray, inend_real: jnp.ndarray,
                      *, sort_levels: tuple = SORT_LEVELS,
@@ -210,7 +212,8 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
                      max_bp: int = MAX_BP,
                      short_dists: int = SHORT_DISTS,
                      recent_k2_min: int = RECENT_K2_MIN,
-                     recent_levels: tuple = RECENT_LEVELS):
+                     recent_levels: tuple = RECENT_LEVELS,
+                     sort_group: int = 0):
     """Per-position condensed sublen tables for a block.
 
     data_padded: uint8 of length PREFIX + block_cap + >=258; the block
@@ -244,9 +247,19 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # compile; 26 small sorts compile and run fast — and packing two
     # truncated levels per round measurably hurts neighbor quality).
     sidx = jnp.arange(n, dtype=jnp.int32)
-    for lvl in reversed(sort_levels):
-        k = h[lvl][sidx]
-        _, sidx = jax.lax.sort((k, sidx), num_keys=1, is_stable=True)
+    # Grouped rounds: G consecutive levels per stable multi-key sort.
+    # Sequential stable sorts by a then b == one lexicographic sort by
+    # (b, a), so any grouping yields the IDENTICAL permutation — a pure
+    # dispatch-count/perf knob (a single 26-key sort never finishes
+    # compiling on the remote backend; small groups compile fine).
+    seq = list(reversed(sort_levels))
+    g = sort_group or max(1, int(os.environ.get("ZT_SORT_GROUP", "1")))
+    for i in range(0, len(seq), g):
+        chunk = seq[i:i + g]
+        keys = tuple(h[lvl][sidx] for lvl in reversed(chunk))
+        out = jax.lax.sort((*keys, sidx), num_keys=len(keys),
+                           is_stable=True)
+        sidx = out[-1]
     hstack = jnp.stack([h[lvl] for lvl in LEVELS])   # (nl, n)
     skeys = hstack[:, sidx]                          # one batched gather
 
