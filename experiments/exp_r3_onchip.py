@@ -59,7 +59,8 @@ def main() -> None:
     base_knobs = hashmatch.current_knobs()
 
     results = {}
-    for vname, spec_v in VARIANTS.items():
+    try:
+      for vname, spec_v in VARIANTS.items():
         if names and vname not in names:
             continue
         kn = dict(base_knobs)
@@ -73,9 +74,11 @@ def main() -> None:
             t0 = time.perf_counter()
             zopfli_tpu.compress(blob, "gzip", opts)      # warm (compiles)
             warm_s = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            out = zopfli_tpu.compress(blob, "gzip", opts)
-            secs = time.perf_counter() - t0
+            secs = 1e9
+            for _ in range(2):  # min-of-2: axon jitter is 250-500 ms
+                t0 = time.perf_counter()
+                out = zopfli_tpu.compress(blob, "gzip", opts)
+                secs = min(secs, time.perf_counter() - t0)
             assert zlib.decompress(out, 16 + 15) == blob
 
             # candidate build alone (device, warm)
@@ -91,9 +94,12 @@ def main() -> None:
                     **hashmatch.current_knobs())
                 float(jnp.sum(bl[:8].astype(jnp.float32)))
             cand()
-            t1 = time.perf_counter()
-            cand()
-            cand_s = time.perf_counter() - t1
+            samples = []
+            for _ in range(3):  # axon dispatch jitter is 250-500 ms
+                t1 = time.perf_counter()
+                cand()
+                samples.append(time.perf_counter() - t1)
+            cand_s = min(samples)
 
             row[dname] = {
                 "size": len(out), "ref": refs[dname],
@@ -106,7 +112,8 @@ def main() -> None:
         results[vname] = {"rows": row}
         with open("/tmp/exp_r3_onchip.json", "w") as f:
             json.dump(results, f, indent=1)
-    hashmatch.KNOBS.update(base_knobs)
+    finally:
+        hashmatch.KNOBS.update(base_knobs)
     print(json.dumps(results, indent=1))
 
 

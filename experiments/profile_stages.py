@@ -1,0 +1,229 @@
+"""Per-stage profile of both engines on the 1 MiB bench blob -> PROFILE.md.
+
+VERDICT r2 item 6: a committed per-stage performance artifact so perf
+claims are independently checkable between rounds (the reference's own
+cost structure is documented in SURVEY §3).
+
+TPU engine stages (devseed path, serialized with forced d2h syncs so
+each device stage is attributed -- the production path overlaps these,
+so the serialized sum is an upper bound on the production wall time;
+the `compress_total` row is the real overlapped number):
+  probe        host incompressibility probe
+  seed_build   host prep + candidate-ladder dispatch (seed program)
+  seed_sync    device: candidates + fixed-cost seed parse + split
+  fs_init      host prep of the fused squeeze (reusing seed candidates)
+  dispatch     queueing the fused iteration loop
+  loop_sync    device: all squeeze iterations + traceback + d2h pull
+  verify_emit  host: parse verify, store build, bitstream emit
+
+Native engine stages: split (host probes), squeeze (C++ iterations),
+emit.
+
+Usage: python experiments/profile_stages.py [--out PROFILE.md]
+Timing per CLAUDE.md: warm in-process, min of 3 reps, tiny-d2h syncs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPS = 3
+
+
+def _sync(x) -> None:
+    import jax.numpy as jnp
+    float(jnp.sum(jnp.asarray(x).astype(jnp.float32)[:1]))
+
+
+def profile_tpu(data: bytes, iters: int) -> dict[str, float]:
+    import jax.numpy as jnp
+    import zopfli_tpu
+    from zopfli_tpu import squeeze_batched as sb
+    from zopfli_tpu.deflate import Options, _seed_maxblocks
+    from zopfli_tpu.emit import BitStream
+    from zopfli_tpu.deflate import finish_part, default_engine_factory
+    from zopfli_tpu.ops import seed as seed_mod
+    from zopfli_tpu.ops import fused_engine
+
+    opts = Options(engine="tpu", numiterations=iters)
+    arr = np.frombuffer(data, np.uint8)
+    n = len(arr)
+
+    # Warm every kernel shape (compiles once per process).
+    zopfli_tpu.compress(data, "gzip", opts)
+
+    best: dict[str, float] = {}
+    for _ in range(REPS):
+        t: dict[str, float] = {}
+        sb.VERIFY_FAILS[0] = 0
+
+        t0 = time.perf_counter()
+        cheap = seed_mod.probably_incompressible(arr, 0, n)
+        t["probe"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        h = seed_mod.seed_dispatch(arr, 0, n, _seed_maxblocks(opts),
+                                   interpret=False, cheap=cheap)
+        t["seed_build"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        sr = seed_mod.seed_finish(h)
+        t["seed_sync"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        fs = fused_engine.FusedSqueeze(
+            arr, [(0, n, sr.bounds)], interpret=False,
+            cand=[(sr.bp_len, sr.bp_dist)])
+        want = int(sr.max_lane_rows * 1.5) + 8
+        cap = 512
+        while cap < want and cap < fused_engine.TILE:
+            cap *= 2
+        fs.default_fetch_cap = min(cap, fused_engine.TILE)
+        t["fs_init"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        handle = fs.dispatch(sr.seed_ll, sr.seed_d, iters)
+        t["dispatch"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        stores = sb.fused_collect(fs, handle, iters)
+        t["loop_sync"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = BitStream()
+        finish_part(opts, True, stores[0], out, default_engine_factory(opts))
+        payload = out.getvalue()
+        t["verify_emit"] = time.perf_counter() - t0
+        assert zlib.decompress(payload, -15) == data
+        assert sb.VERIFY_FAILS[0] == 0
+
+        for k, v in t.items():
+            best[k] = min(best.get(k, 1e9), v)
+
+    # Real (overlapped) production wall time.
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        zopfli_tpu.compress(data, "gzip", opts)
+        best["compress_total"] = min(best.get("compress_total", 1e9),
+                                     time.perf_counter() - t0)
+    return best
+
+
+def profile_native(data: bytes, iters: int) -> dict[str, float]:
+    import zopfli_tpu
+    from zopfli_tpu import native
+    from zopfli_tpu.deflate import (Options, default_greedy, split_master,
+                                    finish_part, default_engine_factory)
+    from zopfli_tpu.emit import BitStream
+    from zopfli_tpu.lz77 import LZ77Store
+
+    opts = Options(engine="native", numiterations=iters)
+    arr = np.frombuffer(data, np.uint8)
+    n = len(arr)
+    zopfli_tpu.compress(data, "gzip", opts)
+
+    best: dict[str, float] = {}
+    for _ in range(REPS):
+        t: dict[str, float] = {}
+        greedy = default_greedy(opts)
+
+        t0 = time.perf_counter()
+        bounds = split_master(opts, arr, 0, n, greedy)
+        t["split"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        stores = []
+        for bs, be in zip(bounds[:-1], bounds[1:]):
+            eng = native.BlockEngine(arr, bs, be)
+            try:
+                lit, dst = eng.squeeze(iters)
+            finally:
+                eng.close()
+            stores.append(LZ77Store(arr, lit, dst, bs))
+        t["squeeze"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        out = BitStream()
+        finish_part(opts, True, stores, out, default_engine_factory(opts))
+        payload = out.getvalue()
+        t["emit"] = time.perf_counter() - t0
+        assert zlib.decompress(payload, -15) == data
+
+        for k, v in t.items():
+            best[k] = min(best.get(k, 1e9), v)
+
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        zopfli_tpu.compress(data, "gzip", opts)
+        best["compress_total"] = min(best.get("compress_total", 1e9),
+                                     time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from bench import bench_data
+    from zopfli_tpu.ops import hashmatch
+
+    out_path = "PROFILE.md"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    iters = 15
+    data = bench_data()
+    mb = len(data) / 1e6
+
+    tpu = profile_tpu(data, iters)
+    nat = profile_native(data, iters)
+
+    import jax
+    knobs = {k: (list(v) if isinstance(v, tuple) else v)
+             for k, v in hashmatch.current_knobs().items()}
+    lines = [
+        "# Per-stage profile (1 MiB bench blob, --i15, warm in-process)",
+        "",
+        f"Backend: {jax.devices()[0].device_kind}; min of {REPS} reps;"
+        " device stages serialized with forced d2h syncs (production",
+        "overlaps them, so the serialized sum exceeds compress_total).",
+        f"Candidate knobs: `{json.dumps(knobs)}`; TILE/LANES/REPLICAS:"
+        f" {os.environ.get('ZT_TILE', '8192')}/"
+        f"{os.environ.get('ZT_LANES', '256')}/"
+        f"{os.environ.get('ZT_REPLICAS', '2')}.",
+        "",
+        "## TPU fused engine (devseed path)",
+        "",
+        "| stage | seconds | s/MB |",
+        "|---|---|---|",
+    ]
+    for k, v in tpu.items():
+        lines.append(f"| {k} | {v:.3f} | {v / mb:.3f} |")
+    ser = sum(v for k, v in tpu.items() if k != "compress_total")
+    lines += [
+        f"| serialized sum | {ser:.3f} | {ser / mb:.3f} |",
+        "",
+        "## Native engine (host C++ oracle)",
+        "",
+        "| stage | seconds | s/MB |",
+        "|---|---|---|",
+    ]
+    for k, v in nat.items():
+        lines.append(f"| {k} | {v:.3f} | {v / mb:.3f} |")
+    lines += [
+        "",
+        f"Generated by `experiments/profile_stages.py` on "
+        f"{time.strftime('%Y-%m-%d')}.",
+        "",
+    ]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
