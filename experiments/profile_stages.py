@@ -123,8 +123,6 @@ def profile_native(data: bytes, iters: int) -> dict[str, float]:
     from zopfli_tpu.deflate import (Options, default_greedy, split_master,
                                     finish_part, default_engine_factory)
     from zopfli_tpu.emit import BitStream
-    from zopfli_tpu.lz77 import LZ77Store
-
     opts = Options(engine="native", numiterations=iters)
     arr = np.frombuffer(data, np.uint8)
     n = len(arr)
@@ -140,14 +138,14 @@ def profile_native(data: bytes, iters: int) -> dict[str, float]:
         t["split"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
+        from zopfli_tpu.squeeze import lz77_optimal
         stores = []
         for bs, be in zip(bounds[:-1], bounds[1:]):
             eng = native.BlockEngine(arr, bs, be)
             try:
-                lit, dst = eng.squeeze(iters)
+                stores.append(lz77_optimal(eng, arr, bs, be, iters, greedy))
             finally:
                 eng.close()
-            stores.append(LZ77Store(arr, lit, dst, bs))
         t["squeeze"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -180,7 +178,9 @@ def main() -> None:
     mb = len(data) / 1e6
 
     tpu = profile_tpu(data, iters)
+    print("TPU:", json.dumps(tpu), flush=True)
     nat = profile_native(data, iters)
+    print("native:", json.dumps(nat), flush=True)
 
     import jax
     knobs = {k: (list(v) if isinstance(v, tuple) else v)

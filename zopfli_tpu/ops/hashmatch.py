@@ -204,7 +204,7 @@ PREFIX = spec.WINDOW_SIZE
     jax.jit,
     static_argnames=("block_cap", "sort_levels", "refine_plan", "max_bp",
                      "short_dists", "recent_k2_min", "recent_levels",
-                     "sort_group"))
+                     "sort_group", "stage"))
 def build_candidates(data_padded: jnp.ndarray, block_cap: int,
                      min_pos: jnp.ndarray, inend_real: jnp.ndarray,
                      *, sort_levels: tuple = SORT_LEVELS,
@@ -213,7 +213,8 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
                      short_dists: int = SHORT_DISTS,
                      recent_k2_min: int = RECENT_K2_MIN,
                      recent_levels: tuple = RECENT_LEVELS,
-                     sort_group: int = 0):
+                     sort_group: int = 0,
+                     stage: int = 0):
     """Per-position condensed sublen tables for a block.
 
     data_padded: uint8 of length PREFIX + block_cap + >=258; the block
@@ -240,26 +241,40 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     instart = PREFIX
     L = block_cap
     nl = len(LEVELS)
+    if stage == 1:        # profiling early-exit: ladders only
+        return h[256], h2[256], h[3]
 
-    # Hierarchical (approximate-suffix) order via LSD radix: stable
-    # single-key sorts from the longest prefix hash down to the exact
-    # 3-byte key (a single 26-key comparator sort takes XLA forever to
-    # compile; 26 small sorts compile and run fast — and packing two
-    # truncated levels per round measurably hurts neighbor quality).
-    sidx = jnp.arange(n, dtype=jnp.int32)
-    # Grouped rounds: G consecutive levels per stable multi-key sort.
-    # Sequential stable sorts by a then b == one lexicographic sort by
-    # (b, a), so any grouping yields the IDENTICAL permutation — a pure
-    # dispatch-count/perf knob (a single 26-key sort never finishes
-    # compiling on the remote backend; small groups compile fine).
-    seq = list(reversed(sort_levels))
-    g = sort_group or max(1, int(os.environ.get("ZT_SORT_GROUP", "1")))
-    for i in range(0, len(seq), g):
-        chunk = seq[i:i + g]
-        keys = tuple(h[lvl][sidx] for lvl in reversed(chunk))
-        out = jax.lax.sort((*keys, sidx), num_keys=len(keys),
-                           is_stable=True)
-        sidx = out[-1]
+    # EXACT suffix order by prefix doubling on ranks (Manber-Myers on
+    # the VPU): the initial sort keys on the exact 24-bit 3-byte word,
+    # then each round sorts by (rank, rank[i + p]) — collision-free
+    # integer ranks, so within-group order is truly lexicographic.
+    # This replaced the 26-round hash-LSD order in r4: the sparse-table
+    # RMQ refinement below is only EXACT on a true suffix order (on the
+    # hash order, within-group placement is by hash value, so the
+    # min-chain frequently bottomed out at the pair's rung — measured
+    # +0.2% size).  7 doubling rounds cover prefix length 384 > 258.
+    # sort_levels / sort_group are retained for API compatibility but
+    # no longer shape the order (the doubling rounds are fixed).
+    del sort_levels, sort_group
+    iota_i32 = jnp.arange(n, dtype=jnp.int32)
+    sk3, sidx = jax.lax.sort((h[3], iota_i32), num_keys=1, is_stable=True)
+    changed = jnp.concatenate(
+        [jnp.ones(1, bool), sk3[1:] != sk3[:-1]])
+    rank = jnp.zeros(n, jnp.int32).at[sidx].set(
+        jnp.cumsum(changed.astype(jnp.int32)) - 1)
+    p = 3
+    while p < spec.MAX_MATCH:
+        rs = jnp.concatenate([rank[p:], jnp.full(p, -1, jnp.int32)])
+        r_s, rs_s, sidx = jax.lax.sort((rank, rs, iota_i32), num_keys=2,
+                                       is_stable=True)
+        changed = jnp.concatenate(
+            [jnp.ones(1, bool),
+             (r_s[1:] != r_s[:-1]) | (rs_s[1:] != rs_s[:-1])])
+        rank = jnp.zeros(n, jnp.int32).at[sidx].set(
+            jnp.cumsum(changed.astype(jnp.int32)) - 1)
+        p *= 2
+    if stage == 2:        # profiling early-exit: + suffix sort rounds
+        return sidx, sidx, sidx
     hstack = jnp.stack([h[lvl] for lvl in LEVELS])   # (nl, n)
     skeys = hstack[:, sidx]                          # one batched gather
 
@@ -303,6 +318,8 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
                      mode="clip")
         ln_adj = jnp.where(fits & (a == b), ln_adj + lvl, ln_adj)
     adj_lvl = jnp.minimum(ln_adj, spec.MAX_MATCH).astype(jnp.int16)
+    if stage == 3:        # profiling early-exit: + adjacency/exact lcp
+        return adj_lvl, sidx, sidx
 
     # Neighbor candidates: positions j slots away in suffix order, with
     # pairwise level = running min of adjacent levels (transitivity).
@@ -346,6 +363,8 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     # Slice to block rows.
     cand_pos = cand_pos[instart:instart + L]
     cand_lvl = cand_lvl[instart:instart + L]
+    if stage == 4:        # profiling early-exit: + neighbors/scatter
+        return cand_pos, cand_lvl, sidx
 
     pos = jnp.arange(L, dtype=jnp.int32)[:, None] + instart
     cap = jnp.clip(inend_real - pos, 0, spec.MAX_MATCH)   # (L, 1)
@@ -418,6 +437,8 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         ln2 = jnp.where(valid2, lvl_arr[rows_a][:, None], 0)
         ln_parts.append(jnp.minimum(ln2, cap.T).T)
         dist_parts.append(dist2.T)
+    if stage == 5:        # profiling early-exit: + recents (+k2)
+        return ln_parts[-1], dist_parts[-1], cand_pos
 
     # Exact short-distance candidates: for d = 1..SHORT_DISTS the match
     # length at p is the run of data[i] == data[i-d] starting at p —
@@ -425,17 +446,26 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     if short_dists:
         iota_n = jnp.arange(n, dtype=jnp.int32)
         x = data_padded
-        ln_s = []
-        for d in range(1, short_dists + 1):
-            eq = jnp.concatenate(
-                [jnp.zeros(d, bool), x[d:] == x[:-d]])
-            marked = jnp.where(eq, n, iota_n)
-            nxt_false = -jax.lax.cummax(-marked[::-1])[::-1]
-            runlen = nxt_false - iota_n          # 0 where eq is False
-            # Source must be a real (halo) byte: p - d >= min_pos.
-            ok = iota_n - d >= min_pos
-            ln_s.append(jnp.where(ok, runlen, 0)[instart:instart + L])
-        ln_sd = jnp.stack(ln_s, axis=1)           # (L, short_dists)
+        # All distances at once, run lengths by doubling: after step s,
+        # r = min(true_run, 2s), so 9 constant-shift steps reach the
+        # MAX_MATCH cap.  The former per-d reverse-cummax-reverse chain
+        # cost ~0.4 s/MiB on TPU (cummax lowers to a full O(n log n)
+        # scan; phase-timed in exp_r4_candphases.py); these are pure
+        # elementwise ops with static shifts.
+        eq_rows = jnp.stack([
+            jnp.concatenate([jnp.zeros(d, bool), x[d:] == x[:-d]])
+            for d in range(1, short_dists + 1)])          # (D, n)
+        r = eq_rows.astype(jnp.int32)
+        for s in (1, 2, 4, 8, 16, 32, 64, 128, 256):
+            sh = jnp.concatenate(
+                [r[:, s:], jnp.zeros((short_dists, s), jnp.int32)],
+                axis=1)
+            r = jnp.where(r == s, r + sh, r)
+        runlen = r                                        # (D, n)
+        dvec = jnp.arange(1, short_dists + 1, dtype=jnp.int32)
+        # Source must be a real (halo) byte: p - d >= min_pos.
+        ok = (iota_n[None, :] - dvec[:, None]) >= min_pos
+        ln_sd = jnp.where(ok, runlen, 0)[:, instart:instart + L].T
         ln_parts.append(jnp.minimum(ln_sd, cap))
         dist_parts.append(jnp.broadcast_to(
             jnp.arange(1, short_dists + 1, dtype=jnp.int32)[None, :],
@@ -444,18 +474,56 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     lcp = jnp.concatenate(ln_parts, axis=1)
     dist = jnp.concatenate(dist_parts, axis=1)
     C = lcp.shape[1]
+    if stage == 6:        # profiling early-exit: + short dists, concat
+        return lcp, dist, cand_pos
 
-    # Exact greedy-doubling refinement of REFINE_ROUNDS candidates per
-    # position (few pairs per position keep the gathers small).  The
-    # first two rounds take the LONGEST claims (ladder quantization
-    # costs most there); later rounds take the SMALLEST-distance
-    # unrefined claims — their true length often exceeds the rung
-    # (e.g. a length-9 match surfaces as the level-8 recent), and the
-    # skyline turns each extension into exact min-dist entries for the
+    # Exact refinement of REFINE_ROUNDS candidates per position.  The
+    # first rounds take the LONGEST claims (ladder quantization costs
+    # most there); later rounds take the SMALLEST-distance unrefined
+    # claims — their true length often exceeds the rung (e.g. a
+    # length-9 match surfaces as the level-8 recent), and the skyline
+    # turns each refinement into exact min-dist entries for the
     # in-between lengths.
+    #
+    # Each round resolves its claim's TRUE length with a sparse-table
+    # range-min over the exact adjacent lcps in suffix order (the
+    # classic SA-LCP identity: lcp(a, b) = min of adjacent lcps between
+    # their suffix ranks).  Three n-gathers per round replace the
+    # 12-18 gathers of the former greedy-doubling ladder (phase-timed
+    # at 0.86 s/MiB for plan LDD2; see exp_r4_candphases.py).  On a
+    # hash-misordered run (sort-concentrated collision) the chain min
+    # is a strict LOWER bound on the true lcp — claims never overstate
+    # a length, which is the direction verify_parse guards.
     rows1 = jnp.arange(L, dtype=jnp.int32)
     p1 = pos[:, 0]
     cap1 = cap[:, 0]
+    rank = jnp.zeros(n, jnp.int32).at[sidx].set(
+        jnp.arange(n, dtype=jnp.int32))
+    rank_blk = rank[instart:instart + L]            # rank[p1] as a slice
+    nlev = max(1, (n - 1).bit_length())
+    t_levels = [adj_lvl]
+    tcur = adj_lvl
+    for k in range(1, nlev + 1):
+        sh = 1 << (k - 1)
+        tcur = jnp.minimum(
+            tcur, jnp.concatenate(
+                [tcur[sh:], jnp.full(sh, np.int16(spec.MAX_MATCH))]))
+        t_levels.append(tcur)
+    t_flat = jnp.concatenate(t_levels)              # ((nlev+1) * n,)
+
+    def rmq_lcp(c_other):
+        """Exact lcp(p1, c_other) via the suffix-order sparse table."""
+        rb = jnp.take(rank, c_other, mode="clip")
+        lo = jnp.minimum(rank_blk, rb) + 1
+        hi = jnp.maximum(rank_blk, rb)
+        width = hi - lo + 1                          # >= 1
+        # floor(log2) exactly via the f32 exponent (ints < 2^24).
+        k = (jax.lax.bitcast_convert_type(
+            width.astype(jnp.float32), jnp.int32) >> 23) - 127
+        pk = jnp.left_shift(1, k)
+        v1 = jnp.take(t_flat, k * n + lo, mode="clip")
+        v2 = jnp.take(t_flat, k * n + hi - pk + 1, mode="clip")
+        return jnp.minimum(v1, v2).astype(jnp.int32)
     # The short-distance columns are exact by construction — exclude
     # them from refinement candidate selection, or the min-dist rounds
     # burn their picks on d<=SHORT_DISTS entries and the rung-quantized
@@ -492,23 +560,14 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         bdist = dist[rows1, bestk]
         has = lcp_work[rows1, bestk] >= spec.MIN_MATCH
         c1 = jnp.where(has, p1 - bdist, 0)
-        ln = jnp.zeros(L, jnp.int32)
-        if kind == "L":
-            levels = (256, 128, 64, 32, 16, 8, 4, 2, 1)
-        else:
-            # Min-dist rounds start from the already-known rung and
-            # only need a short extension: half the gathers.
-            ln = lcp_work[rows1, bestk]
-            levels = (32, 16, 8, 4, 2, 1)
-        for lvl in levels:
-            fits = has & (ln + lvl <= cap1)
-            a = jnp.take(h[lvl], jnp.where(fits, p1 + ln, 0), mode="clip")
-            b = jnp.take(h[lvl], jnp.where(fits, c1 + ln, 0), mode="clip")
-            ln = jnp.where(fits & (a == b), ln + lvl, ln)
+        ln = jnp.minimum(rmq_lcp(c1), cap1)
         refined = jnp.maximum(lcp[rows1, bestk], jnp.where(has, ln, 0))
         lcp = lcp.at[rows1, bestk].set(refined)
         # Mask this slot out so the next round picks another candidate.
         lcp_work = lcp_work.at[rows1, bestk].set(0)
+
+    if stage == 7:        # profiling early-exit: + refinement rounds
+        return lcp, dist, cand_pos
 
     # Skyline: sort rows by distance ascending WITH payloads (an argsort
     # + take_along_axis pair costs ~1.6s/MiB in XLA gathers; a payload
