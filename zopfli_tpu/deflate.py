@@ -308,6 +308,29 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
     finish_part(options, final, stores, out, engine_factory)
 
 
+def _block_split_lz77_device(lz77, maxblocks: int) -> list[int]:
+    """Reference split search over an LZ77 store, on device (ops.devsplit).
+
+    Capacity is pow2-bucketed (multiple of devsplit.CKPT) to bound the
+    compiled shape set; returns ascending symbol-index split points.
+    """
+    import jax.numpy as jnp
+
+    from .ops import devsplit as _ds
+
+    ncap = 1024
+    while ncap < lz77.size + _ds.CKPT:
+        ncap *= 2
+    lit = np.zeros(ncap, np.int32)
+    dst = np.zeros(ncap, np.int32)
+    lit[:lz77.size] = lz77.litlens
+    dst[:lz77.size] = lz77.dists
+    sp, npts = _ds.split_lz77_device(jnp.asarray(lit), jnp.asarray(dst),
+                                     ncap, maxblocks,
+                                     jnp.int32(lz77.size))
+    return [int(x) for x in np.asarray(sp)[:int(npts)]]
+
+
 def finish_part(options: Options, final: bool, stores: list,
                 out: BitStream, engine_factory) -> None:
     """Second split attempt + emission for one master's parsed blocks."""
@@ -325,7 +348,16 @@ def finish_part(options: Options, final: bool, stores: list,
 
     # Second splitting attempt on the optimal parse (deflate.c:872-893).
     if options.blocksplitting and len(splitpoints) > 1:
-        splitpoints2 = blocks.block_split_lz77(lz77, options.blocksplittingmax)
+        if options.engine == "tpu":
+            # Same search on device (ops.devsplit, differential-tested
+            # against the host splitter): one dispatch instead of ~0.25
+            # s/MiB of host FindMinimum probes through the native cost
+            # context.
+            splitpoints2 = _block_split_lz77_device(
+                lz77, options.blocksplittingmax)
+        else:
+            splitpoints2 = blocks.block_split_lz77(
+                lz77, options.blocksplittingmax)
         totalcost2 = 0.0
         bounds2 = [0] + splitpoints2 + [lz77.size]
         for i in range(len(bounds2) - 1):
