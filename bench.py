@@ -104,9 +104,14 @@ def main() -> None:
 
     from zopfli_tpu import squeeze_batched as _sb
     fails_before = _sb.VERIFY_FAILS[0]
-    t0 = time.perf_counter()
-    out = zopfli_tpu.compress(data, "gzip", opts)
-    secs = time.perf_counter() - t0
+    # Min of 3 timed runs: the axon transport adds 250-500 ms of
+    # scheduling jitter per dispatch chain, which would otherwise swamp
+    # run-to-run comparisons (CLAUDE.md).
+    secs = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = zopfli_tpu.compress(data, "gzip", opts)
+        secs = min(secs, time.perf_counter() - t0)
     assert zlib.decompress(out, 16 + 15) == data
 
     mb = SIZE / 1e6
@@ -125,7 +130,7 @@ def main() -> None:
         # Honesty fields (VERDICT r2 weak 5): the timed run is in-
         # process warm; a fresh process pays first_call_seconds once.
         # native_fallbacks must be 0 or the timing is fallback-tainted.
-        "timing": "warm_in_process",
+        "timing": "warm_in_process_min3",
         "first_call_seconds": round(warm_s, 3),
         "native_fallbacks": _sb.VERIFY_FAILS[0] - fails_before,
     }))

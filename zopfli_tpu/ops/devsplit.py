@@ -60,33 +60,71 @@ def _dist_symbol(dist: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(dist < 5, dist - 1, 2 * lg + r).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def split_lz77_device(litlens: jnp.ndarray, dists: jnp.ndarray,
-                      ncap: int, maxblocks: int, nsym: jnp.ndarray,
-                      debug_ranges=None):
-    """Split points for one LZ77 store, entirely on device.
-
-    litlens/dists: (ncap,) int32, real entries in [0, nsym).
-    Returns (splitpoints (maxblocks,) int32 ascending, npoints int32)
-    in SYMBOL indices.
-    """
-    litlens = litlens.astype(jnp.int32)
-    dists = dists.astype(jnp.int32)
+def stream_symbols(litlens, dists, ncap: int, nsym):
+    """(ll_sym, d_sym, nbytes) for an LZ77 stream, devsplit conventions:
+    ll_sym 0 outside [0, nsym), d_sym -1 for literals/invalid."""
     iota = jnp.arange(ncap, dtype=jnp.int32)
     valid = iota < nsym
-
     is_match = dists != 0
-    ll_sym = jnp.where(is_match, jnp.asarray(_LSYM)[jnp.minimum(litlens, 258)],
+    ll_sym = jnp.where(is_match,
+                       jnp.asarray(_LSYM)[jnp.minimum(litlens, 258)],
                        litlens)
     ll_sym = jnp.where(valid, ll_sym, 0)
     d_sym = jnp.where(is_match & valid, _dist_symbol(dists), -1)
     nbytes = jnp.where(valid, jnp.where(is_match, litlens, 1), 0)
+    return ll_sym, d_sym, nbytes
+
+
+def prefix_hist_at(ll_ck, d_ck, ll_sym, d_sym, pts, ncap: int):
+    """Cumulative (ll, d) histograms of symbols [0, pts[b]), batched.
+
+    ll_ck/d_ck/ll_sym/d_sym as built by split_lz77_device(return_ck=
+    True) + stream_symbols; pts (B,) int32 in [0, ncap].
+    """
+    j = pts // CKPT
+    base_ll = ll_ck[j]
+    base_d = d_ck[j]
+    start = j * CKPT
+    ck_pos = jnp.arange(CKPT, dtype=jnp.int32)
+    rows_i = jnp.minimum(start[:, None] + ck_pos[None, :], ncap - 1)
+    sym_rows = ll_sym[rows_i]
+    dsym_rows = d_sym[rows_i]
+    m = ck_pos[None, :] < (pts - start)[:, None]
+    B = pts.shape[0]
+    bidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None],
+                            sym_rows.shape)
+    part_ll = jnp.zeros((B, spec.NUM_LL), jnp.int32).at[
+        bidx, sym_rows].add(jnp.where(m, 1, 0))
+    part_d = jnp.zeros((B, spec.NUM_D), jnp.int32).at[
+        bidx, jnp.maximum(dsym_rows, 0)].add(
+        jnp.where(m & (dsym_rows >= 0), 1, 0))
+    return base_ll + part_ll, base_d + part_d
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 6))
+def split_lz77_device(litlens: jnp.ndarray, dists: jnp.ndarray,
+                      ncap: int, maxblocks: int, nsym: jnp.ndarray,
+                      debug_ranges=None, return_ck: bool = False):
+    """Split points for one LZ77 store, entirely on device.
+
+    litlens/dists: (ncap,) int32, real entries in [0, nsym).
+    Returns (splitpoints (maxblocks,) int32 ascending, npoints int32)
+    in SYMBOL indices.  With return_ck, additionally returns the
+    checkpointed cumulative histograms and byte prefix
+    (ll_ck (ncap/CKPT+1, 288), d_ck (..., 32), bcum (ncap+1,)) so the
+    caller can derive per-block histograms/bounds without re-paying
+    the stream scatter-adds (ops.seed does).
+    """
+    litlens = litlens.astype(jnp.int32)
+    dists = dists.astype(jnp.int32)
+    iota = jnp.arange(ncap, dtype=jnp.int32)
+    ll_sym, d_sym, nbytes = stream_symbols(litlens, dists, ncap, nsym)
 
     # Checkpointed cumulative histograms + byte prefix.
     nck = ncap // CKPT
     ck_idx = iota // CKPT
     ll_ck = jnp.zeros((nck, spec.NUM_LL), jnp.int32).at[
-        ck_idx, ll_sym].add(jnp.where(valid, 1, 0))
+        ck_idx, ll_sym].add(jnp.where(iota < nsym, 1, 0))
     d_ck = jnp.zeros((nck, spec.NUM_D), jnp.int32).at[
         ck_idx, jnp.maximum(d_sym, 0)].add(
         jnp.where(d_sym >= 0, 1, 0))
@@ -203,7 +241,8 @@ def split_lz77_device(litlens: jnp.ndarray, dists: jnp.ndarray,
     sp0 = jnp.full((MB,), ncap + 1, jnp.int32)     # sorted, sentinel-padded
     done0 = jnp.full((MB + 1,), -1, jnp.int32)     # done segment starts
 
-    def outer(it, state):
+    def outer(carry):
+        it, state = carry
         sp, npts, done, ndone, numblocks, finished = state
 
         # Largest splittable segment over current splitpoints.  The
@@ -249,12 +288,21 @@ def split_lz77_device(litlens: jnp.ndarray, dists: jnp.ndarray,
         sp2 = jnp.where(insert, sp_new, sp)
         npts2 = npts + insert.astype(jnp.int32)
         numblocks2 = numblocks + insert.astype(jnp.int32)
-        return (sp2, npts2, done2, ndone2, numblocks2, finished2)
+        return (it + 1, (sp2, npts2, done2, ndone2, numblocks2,
+                         finished2))
 
     state = (sp0, jnp.int32(0), done0, jnp.int32(0), jnp.int32(1),
              nsym < 10)
-    state = jax.lax.fori_loop(0, 2 * MB, outer, state)
+    # Early-exit outer loop: 2*MB bounds the accept/reject count, but
+    # small stores finish in a handful of rounds — a while_loop stops
+    # paying the (sequential, FindMinimum-sized) body the moment
+    # `finished` latches, where a fori_loop ran all 30 rounds.
+    _, state = jax.lax.while_loop(
+        lambda c: (c[0] < 2 * MB) & ~c[1][5], outer,
+        (jnp.int32(0), state))
     sp, npts = state[0], state[1]
+    if return_ck:
+        return sp, npts, ll_ck, d_ck, bcum
     return sp, npts
 
 

@@ -79,7 +79,7 @@ def _dextra_f(dist: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(lg - 1, 0).astype(jnp.float32)
 
 
-def _dist_symbol(dist: jnp.ndarray) -> jnp.ndarray:
+def _dist_symbol(dist: jnp.ndarray) -> jnp.ndarray:  # noqa: kept for tests
     d1 = jnp.maximum(dist - 1, 1)
     lg = 31 - jax.lax.clz(d1)
     r = (d1 >> jnp.maximum(lg - 1, 0)) & 1
@@ -174,10 +174,11 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
             (empty, peg, litg), num_keys=1, is_stable=True,
             dimension=1)
         pl_c = pe_c & scan_kernel.LEN_MASK
-        pd_c = pe_c >> scan_kernel.LEN_BITS
         nsym_lane = jnp.sum(1 - empty, axis=1)           # (G, LANES)
 
         # ---- global symbol stream (position order = lane order) ----
+        # ONE packed scatter (literal rows carry their byte above the
+        # length bits) instead of separate lit/dist scatters.
         nsym_flat = nsym_lane.reshape(-1)
         off = jnp.concatenate(
             [jnp.zeros(1, jnp.int32),
@@ -187,39 +188,40 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
         idx = off_gl[:, None, :] + k[None, :, None]       # (G, TILE, LANES)
         slot_valid = k[None, :, None] < nsym_lane[:, None, :]
         idx = jnp.where(slot_valid, idx, DCAP)
-        lit_stream = jnp.zeros(DCAP, jnp.int32).at[idx.reshape(-1)].set(
-            jnp.where(pl_c >= spec.MIN_MATCH, pl_c, lit_c).reshape(-1),
-            mode="drop")
-        dist_stream = jnp.zeros(DCAP, jnp.int32).at[idx.reshape(-1)].set(
-            jnp.where(pl_c >= spec.MIN_MATCH, pd_c, 0).reshape(-1),
-            mode="drop")
+        LB = scan_kernel.LEN_BITS
+        pe_packed = jnp.where(pl_c >= spec.MIN_MATCH, pe_c,
+                              (lit_c << LB) | 1)
+        stream = jnp.zeros(DCAP, jnp.int32).at[idx.reshape(-1)].set(
+            pe_packed.reshape(-1), mode="drop")
+        pl_s = stream & scan_kernel.LEN_MASK
+        hi_s = stream >> LB
+        lit_stream = jnp.where(pl_s >= spec.MIN_MATCH, pl_s, hi_s)
+        dist_stream = jnp.where(pl_s >= spec.MIN_MATCH, hi_s, 0)
         nsym_total = jnp.sum(nsym_flat)
 
         # ---- reference split search on the seed parse ----
-        sp, npts = devsplit.split_lz77_device(
-            lit_stream, dist_stream, DCAP, MB, nsym_total)
+        sp, npts, ll_ck, d_ck, bcum = devsplit.split_lz77_device(
+            lit_stream, dist_stream, DCAP, MB, nsym_total,
+            return_ck=True)
 
         # ---- per-block seed stats + byte bounds + exact costs ----
-        iota = jnp.arange(DCAP, dtype=jnp.int32)
-        s_valid = iota < nsym_total
-        is_match = dist_stream != 0
-        ll_sym = jnp.where(
-            is_match,
-            jnp.asarray(devsplit._LSYM)[jnp.minimum(lit_stream, 258)],
-            lit_stream)
-        d_sym = _dist_symbol(jnp.maximum(dist_stream, 1))
-        nbytes = jnp.where(s_valid, jnp.where(is_match, lit_stream, 1), 0)
-        bcum = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(nbytes, dtype=jnp.int32)])
+        # Histograms come from the splitter's checkpointed cumulative
+        # histograms differenced at the block boundaries (32 boundary
+        # rows) — no second pass over the stream.
         byte_splits = bcum[jnp.minimum(sp, DCAP)]         # (MB,)
-
-        block_id = jnp.sum(
-            (iota[:, None] >= sp[None, :]).astype(jnp.int32), axis=1)
-        ll_hist = jnp.zeros((MB + 1, spec.NUM_LL), jnp.int32).at[
-            block_id, ll_sym].add(jnp.where(s_valid, 1, 0), mode="drop")
-        d_hist = jnp.zeros((MB + 1, spec.NUM_D), jnp.int32).at[
-            block_id, d_sym].add(
-            jnp.where(s_valid & is_match, 1, 0), mode="drop")
+        ll_sym, d_sym, _nb = devsplit.stream_symbols(
+            lit_stream, dist_stream, DCAP, nsym_total)
+        starts_sym = jnp.minimum(
+            jnp.concatenate([jnp.zeros(1, jnp.int32), sp])[:MB + 1],
+            nsym_total)
+        ends_sym = jnp.minimum(
+            jnp.concatenate([sp, jnp.full(1, DCAP + 1, jnp.int32)])
+            [:MB + 1], nsym_total)
+        pll, pd = devsplit.prefix_hist_at(
+            ll_ck, d_ck, ll_sym, d_sym,
+            jnp.concatenate([starts_sym, ends_sym]), DCAP)
+        ll_hist = pll[MB + 1:] - pll[:MB + 1]
+        d_hist = pd[MB + 1:] - pd[:MB + 1]
 
         # Exact auto-type costs of the seed parse per block.  Sentinel
         # split points map to bcum[DCAP] == total bytes, so ends/starts
