@@ -85,16 +85,16 @@ RECENT_LEVELS = _RECENT_PRESETS[os.environ.get("ZT_RECENT_LEVELS", "dense")]
 # match the reference's own sublen cache (util.h:68-74); dropping an
 # interior breakpoint only widens the distance used for its range.
 MAX_BP = int(os.environ.get("ZT_MAX_BP", "12"))
-# Exact greedy-doubling refinement plan: one char per round, 'L' =
-# refine the longest unrefined claim (full doubling ladder), 'D' =
-# refine the smallest-distance unrefined claim (short ladder from its
-# rung).  With exact adjacent lcps the neighbor candidates are already
-# exact, so 'D' rounds (recents) carry most of the remaining value.
+# Exact refinement plan: one char per round, each round picks a claim
+# per position and resolves its TRUE length with the RMQ below.  'L' =
+# longest unrefined claim, 'D' = smallest-distance unrefined claim,
+# 'R' = longest recent, '2' = longest k=2-recent.
 # ZT_REFINE=<int> is accepted as legacy: n -> 'L'*min(n,2) + 'D'*(n-2).
-# 'LDD' measures best on the mixed 1 MiB benchmark; 'LRD'/'LRDD' help
-# log-like periodic data (fewer missing just-above-rung lengths) at a
-# small cost on text.
-_refine_env = os.environ.get("ZT_REFINE", "LDD2")
+# Measured with exact-RMQ rounds (exp_r4_refine, 1 MB slices): LD2
+# beats LDD2 on text (+0.061% vs +0.185% — extra rounds can shadow
+# useful breakpoints out of the condensed table) and costs log-like
+# data ~0.04%; each round is ~0.12 s/MiB.
+_refine_env = os.environ.get("ZT_REFINE", "LD2")
 if _refine_env.isdigit():
     _n = int(_refine_env)
     REFINE_PLAN = "L" * min(_n, 2) + "D" * max(_n - 2, 0)

@@ -122,17 +122,31 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
         L_real = inend_real - hashmatch.PREFIX          # scalar i32
 
         # ---- lane geometry: lane t covers master rows [t*TILE, ...) ----
+        # Seed lanes tile the master CONTIGUOUSLY, so the per-lane
+        # tables are reshapes of the flat arrays — zero gathers.  (The
+        # former rows_c gather composition was miscompiled by XLA:TPU
+        # at cap >= 512 KiB when fused with the downstream
+        # transpose/min chain — the lit gather broadcast element 0
+        # across all lanes, which silently poisoned every >=512 KiB
+        # master's seed stats; reshapes are also simply faster.)
         lane_ids = jnp.arange(G * LANES, dtype=jnp.int32)
         tile_start = lane_ids * TILE                     # (G*LANES,)
         tile_nbytes = jnp.clip(L_real - tile_start, 0, TILE)
         pos_in_tile = jnp.arange(TILE, dtype=jnp.int32)
-        rows = tile_start[:, None] + pos_in_tile[None, :]   # (GL, TILE)
-        rows_c = jnp.clip(rows, 0, cap - 1)
-        bl = bp_len[rows_c]                              # (GL, TILE, KBP)
-        bd = bp_dist[rows_c]
+        total_rows = G * LANES * TILE
+
+        def flat_rows(x, fill):
+            if total_rows > cap:
+                pad_shape = (total_rows - cap,) + x.shape[1:]
+                x = jnp.concatenate(
+                    [x, jnp.full(pad_shape, fill, x.dtype)])
+            return x[:total_rows].reshape((G * LANES, TILE) + x.shape[1:])
+
+        bl = flat_rows(bp_len, 0)                        # (GL, TILE, KBP)
+        bd = flat_rows(bp_dist, 0)
         data_block = buf[hashmatch.PREFIX:hashmatch.PREFIX + cap] \
             .astype(jnp.int32)
-        lit = data_block[rows_c]                         # (GL, TILE)
+        lit = flat_rows(data_block, 0)                   # (GL, TILE)
         maxlen = tile_nbytes[:, None] - pos_in_tile[None, :]
         bl = jnp.minimum(bl, maxlen[:, :, None])
         bl = jnp.where(bl >= spec.MIN_MATCH, bl, 0)
@@ -285,9 +299,19 @@ class SeedResult:
         nlit = self.seed_ll[:, :256].sum(axis=1).astype(np.float64)
         blk_bytes = np.diff(np.asarray(self.bounds, np.float64))
         cover = 1.0 - nlit / np.maximum(blk_bytes, 1)
+        # Stored must beat DYNAMIC with margin.  The fixed column
+        # aliases the uncompressed cost for stores over 1000 symbols
+        # (deflate.c:612-615 semantics), so compare against it only
+        # when it is a real fixed cost — min(c1, c2) made the
+        # condition unsatisfiable for every large block (c0 < c0+256
+        # always) and the stored-exit never fired.
+        nsym_store = float(self.seed_ll.sum())
+        margin = 16.0 + c[:, 0] / 8192.0      # ~0.012% of the block
+        dyn_ok = c[:, 0] + margin < c[:, 2]
+        fx_ok = (c[:, 0] + margin < c[:, 1]) if nsym_store <= 1000 \
+            else np.ones_like(dyn_ok)
         self.all_stored = bool(
-            np.all(c[:, 0] + 256 < np.minimum(c[:, 1], c[:, 2]))
-            and np.all(cover < 0.02))
+            np.all(dyn_ok & fx_ok) and np.all(cover < 0.02))
 
 
 def seed_dispatch(data: np.ndarray, instart: int, inend: int,
