@@ -572,16 +572,33 @@ class FusedSqueeze:
         sd[:self.nb] = seed_d
         # Replica seeds: perturbed copies of the original block's seed
         # stats (restart diversification; replica 0 of each block keeps
-        # the reference-faithful greedy seed).
+        # the reference-faithful greedy seed).  A block's FIRST replica
+        # gets a CHAOTIC seed: all weight on its most common literal.
+        # Its iteration-1 cost model is absurd, which makes iteration 2
+        # restart from the stats of an out-of-distribution parse — an
+        # aggressive exploration trajectory that keep-best can only
+        # benefit from.  (Found by accident: a seed-stats corruption
+        # bug produced exactly this shape and measured 0.24% SMALLER
+        # than the honest seed on 1 MB text; ZT_REPLICA_CHAOS=0
+        # restores perturbed-only replicas.)
+        chaos = os.environ.get("ZT_REPLICA_CHAOS", "1") != "0"
+        ordinal: dict[int, int] = {}
         for rb in range(self.nb, self.nb_total):
             b = self.replica_of[rb]
+            ordinal[b] = ordinal.get(b, 0) + 1
             rng = np.random.default_rng(0xA5F00D + rb)
-            for dst, src in ((sll, seed_ll), (sd, seed_d)):
-                row = src[b].astype(np.int32).copy()
-                mask = rng.random(row.shape[0]) < (1.0 / 3.0)
-                take = rng.integers(0, row.shape[0], row.shape[0])
-                row[mask] = src[b][take[mask]]
-                dst[rb] = row
+            if chaos and ordinal[b] == 1:
+                top = int(np.argmax(seed_ll[b, :256]))
+                sll[rb] = 0
+                sll[rb, top] = max(int(seed_ll[b].sum()), 1)
+                sd[rb] = 0
+            else:
+                for dst, src in ((sll, seed_ll), (sd, seed_d)):
+                    row = src[b].astype(np.int32).copy()
+                    mask = rng.random(row.shape[0]) < (1.0 / 3.0)
+                    take = rng.integers(0, row.shape[0], row.shape[0])
+                    row[mask] = src[b][take[mask]]
+                    dst[rb] = row
             sll[rb, 256] = 1
         ll_maps, d_maps = costmodel.randomize_maps(MAX_EVENTS)
 
