@@ -77,12 +77,19 @@ def main() -> None:
 
     opts = Options(engine="tpu", numiterations=15)
 
-    # Warm: compile every kernel shape on a 2-master slice (axon
-    # remote-compiled Pallas kernels never hit the persistent cache).
+    # Warm: compile every kernel shape the chunked pipeline will use
+    # (axon remote-compiled Pallas kernels never hit the persistent
+    # cache).  The warm slice must cover a FULL device batch — a
+    # 2 MiB warm leaves the multi-group scan/traceback geometry
+    # uncompiled and the timed run pays minutes of mid-run compiles
+    # (r4: 100 MiB measured 9 s/MB with a 2 MiB warm vs 3.5 s/MB
+    # steady-state).  One batch is ZT_TILE_BUDGET tiles (~8 masters).
+    warm_mb = min(10, args.mb)
     t0 = time.perf_counter()
-    zopfli_tpu.compress(data[: 2 << 20], "gzip", opts)
+    zopfli_tpu.compress(data[: warm_mb << 20], "gzip", opts)
     warm_s = time.perf_counter() - t0
-    print(f"warmup (2 MiB, cold compiles): {warm_s:.1f} s", flush=True)
+    print(f"warmup ({warm_mb} MiB, cold compiles): {warm_s:.1f} s",
+          flush=True)
 
     # Host-side emit cost proxy: time spent inside finish_part while
     # the device is idle-or-busy; measured separately below via a
@@ -105,7 +112,8 @@ def main() -> None:
         "wall_s": round(wall, 1),
         "MiB_per_s": round(n_mb / wall, 3),
         "verify_s": round(ver_s, 1),
-        "warm_first_2MiB_s": round(warm_s, 1),
+        "warm_cold_compiles_s": round(warm_s, 1),
+        "warm_slice_MiB": warm_mb,
     }
 
     ref_s = None
