@@ -61,9 +61,13 @@ def bench_data() -> bytes:
 
 
 def reference_baseline(data: bytes) -> tuple[float, int]:
-    """(seconds, compressed_size) for the reference binary, cached."""
+    """(seconds, compressed_size) for the reference binary, cached.
+
+    Min of 3 runs — the same methodology as our own timing (a single
+    cold run would flatter vs_baseline under machine jitter).
+    """
     key = hashlib.sha256(data).hexdigest()[:16]
-    cache = f"/tmp/zt_bench_ref_{key}_{ITERS}.json"
+    cache = f"/tmp/zt_bench_ref_{key}_{ITERS}_min3.json"
     if os.path.exists(cache):
         with open(cache) as f:
             d = json.load(f)
@@ -75,14 +79,16 @@ def reference_baseline(data: bytes) -> tuple[float, int]:
     path = f"/tmp/zt_bench_data_{key}"
     with open(path, "wb") as f:
         f.write(data)
-    if os.path.exists(path + ".gz"):
-        os.unlink(path + ".gz")
-    t0 = time.perf_counter()
-    subprocess.run([REF_BIN, f"--i{ITERS}", path], check=True)
-    secs = time.perf_counter() - t0
+    secs = 1e9
+    for _ in range(3):
+        if os.path.exists(path + ".gz"):
+            os.unlink(path + ".gz")
+        t0 = time.perf_counter()
+        subprocess.run([REF_BIN, f"--i{ITERS}", path], check=True)
+        secs = min(secs, time.perf_counter() - t0)
     size = os.path.getsize(path + ".gz")
     with open(cache, "w") as f:
-        json.dump({"seconds": secs, "size": size}, f)
+        json.dump({"seconds": secs, "size": size, "timing": "min3"}, f)
     return secs, size
 
 
@@ -103,7 +109,9 @@ def main() -> None:
     warm_s = time.perf_counter() - t0
 
     from zopfli_tpu import squeeze_batched as _sb
+    from zopfli_tpu.ops import fused_engine as _fe
     fails_before = _sb.VERIFY_FAILS[0]
+    retries_before = _fe.FETCH_RETRIES[0]
     # Min of 3 timed runs: the axon transport adds 250-500 ms of
     # scheduling jitter per dispatch chain, which would otherwise swamp
     # run-to-run comparisons (CLAUDE.md).
@@ -130,9 +138,10 @@ def main() -> None:
         # Honesty fields (VERDICT r2 weak 5): the timed run is in-
         # process warm; a fresh process pays first_call_seconds once.
         # native_fallbacks must be 0 or the timing is fallback-tainted.
-        "timing": "warm_in_process_min3",
+        "timing": "warm_in_process_min3_both",
         "first_call_seconds": round(warm_s, 3),
         "native_fallbacks": _sb.VERIFY_FAILS[0] - fails_before,
+        "fetch_retries": _fe.FETCH_RETRIES[0] - retries_before,
     }))
 
 

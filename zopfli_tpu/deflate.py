@@ -311,24 +311,15 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
 def _block_split_lz77_device(lz77, maxblocks: int) -> list[int]:
     """Reference split search over an LZ77 store, on device (ops.devsplit).
 
-    Capacity is pow2-bucketed (multiple of devsplit.CKPT) to bound the
-    compiled shape set; returns ascending symbol-index split points.
+    Thin alias of the differential-tested devsplit wrapper (the pow2
+    capacity floor only bounds the compiled shape set; results are
+    capacity-independent).
     """
-    import jax.numpy as jnp
-
     from .ops import devsplit as _ds
 
-    ncap = 1024
-    while ncap < lz77.size + _ds.CKPT:
-        ncap *= 2
-    lit = np.zeros(ncap, np.int32)
-    dst = np.zeros(ncap, np.int32)
-    lit[:lz77.size] = lz77.litlens
-    dst[:lz77.size] = lz77.dists
-    sp, npts = _ds.split_lz77_device(jnp.asarray(lit), jnp.asarray(dst),
-                                     ncap, maxblocks,
-                                     jnp.int32(lz77.size))
-    return [int(x) for x in np.asarray(sp)[:int(npts)]]
+    return _ds.block_split_lz77_device(
+        lz77.litlens.astype(np.int32), lz77.dists.astype(np.int32),
+        maxblocks, floor=1024)
 
 
 def finish_part(options: Options, final: bool, stores: list,

@@ -307,12 +307,18 @@ def split_lz77_device(litlens: jnp.ndarray, dists: jnp.ndarray,
 
 
 def block_split_lz77_device(litlens: np.ndarray, dists: np.ndarray,
-                            maxblocks: int = 15) -> list[int]:
-    """Host wrapper: returns ascending LZ77-symbol split indices."""
+                            maxblocks: int = 15,
+                            floor: int = CKPT) -> list[int]:
+    """Host wrapper: returns ascending LZ77-symbol split indices.
+
+    floor: minimum pow2 capacity bucket — production callers pass a
+    larger floor to keep the compiled shape set small (capacity only
+    pads; results are identical for any ncap >= n + 1).
+    """
     n = len(litlens)
     if n < 10:
         return []
-    ncap = CKPT
+    ncap = max(CKPT, floor)
     while ncap < n + 1:
         ncap *= 2
     ll = np.zeros(ncap, np.int32)

@@ -57,6 +57,12 @@ class FetchOverflow(Exception):
     """A lane's path exceeded the compact fetch cap (dense parse)."""
 
 
+# Diagnostic counter: a fetch-cap overflow silently re-runs the ENTIRE
+# iteration loop at full fetch (~2x that master's device time), so perf
+# regressions could hide as correctness retries — bench.py reports it.
+FETCH_RETRIES = [0]
+
+
 def _dist_symbol_jax(dist: jnp.ndarray) -> jnp.ndarray:
     d1 = jnp.maximum(dist - 1, 1)
     lg = 31 - jax.lax.clz(d1)
@@ -91,30 +97,14 @@ def _filler(n: int) -> np.ndarray:
     return (np.arange(n, dtype=np.uint32) * 2654435761 >> 13).astype(np.uint8)
 
 
-@functools.lru_cache(maxsize=None)
-def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
-                  nbyte_values: int, fetch_cap: int,
-                  interpret: bool = False, mesh=None, axis: str = "blocks"):
-    """The single-dispatch squeeze: all iterations, all groups.
+def _loop_pieces(scan, traceback, ngroups: int, nb_pad: int,
+                 nbyte_values: int, fetch_cap: int, mesh=None,
+                 axis: str = "blocks"):
+    """Shared builders for the fused iteration loop.
 
-    Group tensors arrive stacked on a leading axis.  Returns the final
-    best parses (compacted per lane), exact best costs, and the best
-    stats (the host fallback uses them on hash-collision verify
-    failure).
-
-    On TPU the whole iteration loop is ONE jitted lax.fori_loop.  In
-    interpret mode (CPU tests) the same jitted body runs under a host
-    Python loop instead: XLA:CPU takes >8 min to compile the cost
-    stack (sorts in package_merge) inside a while body, while the body
-    alone compiles in seconds.  Identical math either way.
-
-    With `mesh`, everything runs under shard_map: group tensors are
-    sharded over `axis` (ngroups here is the per-device group count;
-    the caller pads total groups to a device multiple), the per-block
-    iteration-control state is computed redundantly on every device,
-    and the ONE collective is a psum of the per-device block histogram
-    contributions (SURVEY §5 distributed-backend design: compression is
-    data-parallel; only observability/stats cross devices).
+    Returns (make_body, init_state, finish) — unjitted closures used by
+    _make_run_all (standalone dispatch) and ops.mega (the megafused
+    seed+split+squeeze single-dispatch program).
     """
     symtab = np.asarray(scan_kernel.symbol_range_table(), dtype=np.int32)
     HB = scan_kernel.HBINS
@@ -252,6 +242,38 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
         nsym = jnp.sum(1 - empty, axis=1)               # (G, LANES)
         packed = pe_c[:, :fetch_cap, :]
         return best_cost, best_sll, best_sd, nsym, packed
+
+    return make_body, init_state, finish
+
+
+@functools.lru_cache(maxsize=None)
+def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
+                  nbyte_values: int, fetch_cap: int,
+                  interpret: bool = False, mesh=None, axis: str = "blocks"):
+    """The single-dispatch squeeze: all iterations, all groups.
+
+    Group tensors arrive stacked on a leading axis.  Returns the final
+    best parses (compacted per lane), exact best costs, and the best
+    stats (the host fallback uses them on hash-collision verify
+    failure).
+
+    On TPU the whole iteration loop is ONE jitted lax.fori_loop.  In
+    interpret mode (CPU tests) the same jitted body runs under a host
+    Python loop instead: XLA:CPU takes >8 min to compile the cost
+    stack (sorts in package_merge) inside a while body, while the body
+    alone compiles in seconds.  Identical math either way.
+
+    With `mesh`, everything runs under shard_map: group tensors are
+    sharded over `axis` (ngroups here is the per-device group count;
+    the caller pads total groups to a device multiple), the per-block
+    iteration-control state is computed redundantly on every device,
+    and the ONE collective is a psum of the per-device block histogram
+    contributions (SURVEY §5 distributed-backend design: compression is
+    data-parallel; only observability/stats cross devices).
+    """
+    make_body, init_state, finish = _loop_pieces(
+        scan, traceback, ngroups, nb_pad, nbyte_values, fetch_cap,
+        mesh=mesh, axis=axis)
 
     # shard_map partition specs: group-major tensors sharded over the
     # mesh axis, iteration-control/per-block state replicated.
@@ -628,6 +650,7 @@ class FusedSqueeze:
             if fetch_cap >= TILE:
                 raise FetchOverflow()
             # Dense parses (incompressible data): retry with full fetch.
+            FETCH_RETRIES[0] += 1
             return self.collect(self.dispatch(seed_ll, seed_d,
                                               numiterations,
                                               fetch_cap=TILE))

@@ -535,6 +535,15 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         selectable[C - short_dists:] = False
         lcp_work = jnp.where(jnp.asarray(selectable)[None, :], lcp, 0)
     n_neigh = 2 * NEIGHBORS
+    # Rounds are scatter- and gather-free (r5): the chosen column is
+    # read with a one-hot select-sum, removed from the skyline input
+    # with an elementwise where, and the refined entry is APPENDED as a
+    # new column — the skyline only sees the entry set, so this is
+    # exactly equivalent to the former in-place .at[rows, bestk].set
+    # updates, which lowered to 1M-row scatters (~0.25 s/MiB of the
+    # 0.37 s/MiB refine cost; exp_r5_knobs).
+    iota_c = jnp.arange(C, dtype=jnp.int32)
+    extra_ln, extra_dist = [], []
     for kind in refine_plan:
         if kind == "L":
             bestk = jnp.argmax(lcp_work, axis=1)
@@ -557,24 +566,42 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
             dist_work = jnp.where(lcp_work >= spec.MIN_MATCH, dist,
                                   np.int32(1 << 30))
             bestk = jnp.argmin(dist_work, axis=1)
-        bdist = dist[rows1, bestk]
-        has = lcp_work[rows1, bestk] >= spec.MIN_MATCH
+        sel = iota_c[None, :] == bestk[:, None]          # (L, C)
+        bdist = jnp.sum(jnp.where(sel, dist, 0), axis=1)
+        claim = jnp.sum(jnp.where(sel, lcp_work, 0), axis=1)
+        has = claim >= spec.MIN_MATCH
         c1 = jnp.where(has, p1 - bdist, 0)
         ln = jnp.minimum(rmq_lcp(c1), cap1)
-        refined = jnp.maximum(lcp[rows1, bestk], jnp.where(has, ln, 0))
-        lcp = lcp.at[rows1, bestk].set(refined)
-        # Mask this slot out so the next round picks another candidate.
-        lcp_work = lcp_work.at[rows1, bestk].set(0)
+        refined = jnp.maximum(claim, jnp.where(has, ln, 0))
+        extra_ln.append(jnp.where(has, refined, 0))
+        extra_dist.append(jnp.where(has, bdist, spec.WINDOW_SIZE + 1))
+        # The appended column supersedes the chosen one: drop it from
+        # the skyline input (only when actually refined) and from the
+        # next round's selection (always — matching the former
+        # unconditional lcp_work masking).
+        lcp = jnp.where(sel & has[:, None], 0, lcp)
+        lcp_work = jnp.where(sel, 0, lcp_work)
+    if extra_ln:
+        lcp = jnp.concatenate(
+            [lcp] + [e[:, None] for e in extra_ln], axis=1)
+        dist = jnp.concatenate(
+            [dist] + [e[:, None] for e in extra_dist], axis=1)
+        C = lcp.shape[1]
 
     if stage == 7:        # profiling early-exit: + refinement rounds
         return lcp, dist, cand_pos
 
-    # Skyline: sort rows by distance ascending WITH payloads (an argsort
-    # + take_along_axis pair costs ~1.6s/MiB in XLA gathers; a payload
-    # sort is one pass), then keep candidates whose length strictly
-    # exceeds every smaller-distance length.
-    dist_s, lcp_s = jax.lax.sort((dist, lcp), num_keys=1, is_stable=True,
-                                 dimension=1)
+    # Skyline: sort rows by (distance asc, length desc) WITH payloads
+    # (an argsort + take_along_axis pair costs ~1.6s/MiB in XLA
+    # gathers; a payload sort is one pass), then keep candidates whose
+    # length strictly exceeds every smaller-distance length.  The
+    # second key puts the longest same-distance entry first so its
+    # dominated duplicates never consume a condense slot (a 2-key
+    # comparator sort costs the same as 1-key on TPU).
+    mlcp = np.int32(spec.MAX_MATCH) - lcp
+    dist_s, mlcp_s = jax.lax.sort((dist, mlcp), num_keys=2,
+                                  is_stable=False, dimension=1)
+    lcp_s = np.int32(spec.MAX_MATCH) - mlcp_s
     run_best = jax.lax.cummax(
         jnp.concatenate([jnp.full((L, 1), spec.MIN_MATCH - 1),
                          lcp_s[:, :-1]], axis=1), axis=1)

@@ -87,9 +87,9 @@ def _dist_symbol(dist: jnp.ndarray) -> jnp.ndarray:  # noqa: kept for tests
 
 
 @functools.lru_cache(maxsize=None)
-def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
-                      knobs_items: tuple = ()):
-    """Build the seed program for one master capacity.
+def make_seed_core(cap: int, maxblocks: int, interpret: bool = False,
+                   knobs_items: tuple = ()):
+    """Build the UNJITTED seed computation for one master capacity.
 
     Returns fn(buf, min_pos, inend_real) ->
       (sp, npts, byte_splits, ll_hist, d_hist, block_costs, nsym_lane,
@@ -100,6 +100,9 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
     block_costs (MB+1, 3) i32 exact [stored, fixed, dynamic] bits of
     the seed parse per block, nsym_lane (G*LANES,) i32 path rows per
     tile lane, and the candidate tables (cap, KBP) for reuse.
+
+    Callable inside a larger jit (ops.mega embeds it in the megafused
+    single-dispatch program); make_seed_program wraps it standalone.
     """
     from . import fused_engine as _fe
     TILE, LANES, KBP = _fe.TILE, _fe.LANES, _fe.KBP
@@ -261,6 +264,14 @@ def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
         return (sp, npts, byte_splits, ll_h1, d_hist, block_costs,
                 nsym_flat, bp_len, bp_dist)
 
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def make_seed_program(cap: int, maxblocks: int, interpret: bool = False,
+                      knobs_items: tuple = ()):
+    """Standalone (jitted on TPU) wrapper of make_seed_core."""
+    run = make_seed_core(cap, maxblocks, interpret, knobs_items)
     if interpret:
         return run          # pieces are individually jitted already
     return jax.jit(run)
@@ -305,7 +316,12 @@ class SeedResult:
         # when it is a real fixed cost — min(c1, c2) made the
         # condition unsatisfiable for every large block (c0 < c0+256
         # always) and the stored-exit never fired.
-        nsym_store = float(self.seed_ll.sum())
+        # True stream symbol count (reference deflate.c:615 uses
+        # lz77->size): seed_ll counts the forced per-block end-of-block
+        # symbol (ll_hist[:,256] == 1 per block), which the device
+        # fixed-cost column does NOT include in its nsym_total gate —
+        # subtract the block count so both sides gate identically.
+        nsym_store = float(self.seed_ll.sum()) - (len(self.bounds) - 1)
         margin = 16.0 + c[:, 0] / 8192.0      # ~0.012% of the block
         dyn_ok = c[:, 0] + margin < c[:, 2]
         fx_ok = (c[:, 0] + margin < c[:, 1]) if nsym_store <= 1000 \
