@@ -70,7 +70,7 @@ def profile_tpu(data: bytes, iters: int) -> dict[str, float]:
         t["probe"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        h = seed_mod.seed_dispatch(arr, 0, n, _seed_maxblocks(opts),
+        h = seed_mod.seed_dispatch(arr, 0, n, _seed_maxblocks(opts, n),
                                    interpret=False, cheap=cheap)
         t["seed_build"] = time.perf_counter() - t0
 

@@ -153,6 +153,49 @@ def compress_many(blobs, fmt: str = "gzip",
     return results
 
 
+_WARMED: set = set()
+
+
+def warmup(sizes=(1 << 20,), options: Options | None = None,
+           background: bool = False):
+    """Pre-compile the TPU kernel geometry for the given input sizes.
+
+    First use of each input-size bucket pays the Pallas/XLA compiles
+    (minutes on a remote-compile TPU transport, where the persistent
+    cache cannot capture the kernels — see README).  Call warmup() once
+    at startup, or with background=True to compile on a thread while
+    the host does other work (returns the Thread; join() it before
+    timing anything).
+
+    sizes: input byte lengths to warm (each size bucket — pow2 master
+    capacity, lane-group count — is a distinct compile).
+    """
+    options = options or Options(engine="tpu")
+    rng = np.random.default_rng(12345)
+    words = [b"the ", b"warm ", b"up ", b"corpus ", b"for ", b"kernel ",
+             b"shapes ", b"only "]
+
+    def run():
+        for size in sizes:
+            key = (size, options.numiterations, options.engine)
+            if key in _WARMED:
+                continue
+            blob = b"".join(
+                words[i] for i in rng.integers(0, len(words),
+                                               size // 5 + 2))[:size]
+            compress(blob, "gzip", options)
+            _WARMED.add(key)
+
+    if background:
+        import threading
+        t = threading.Thread(target=run, name="zopfli-tpu-warmup",
+                             daemon=True)
+        t.start()
+        return t
+    run()
+    return None
+
+
 def gzip_compress(data, options: Options | None = None) -> bytes:
     return compress(data, "gzip", options)
 

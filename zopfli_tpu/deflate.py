@@ -195,8 +195,33 @@ def _use_devseed(options: Options) -> bool:
     return _os.environ.get("ZT_SEED", "device") == "device"
 
 
-def _seed_maxblocks(options: Options) -> int:
-    return options.blocksplittingmax if options.blocksplitting else 1
+def tpu_master_size() -> int:
+    """Master-block size for the TPU path (bytes).
+
+    The reference uses 1e6-byte masters purely for memory boundedness
+    (util.h:52-60).  The TPU path uses a power of two so masters tile
+    the kernel lane geometry exactly (TILE | master size) and the
+    common 1 MiB input is ONE master; larger values amortize the
+    per-master seed program over more bytes (ZT_MASTER_SIZE).
+    """
+    import os as _os
+    return int(_os.environ.get("ZT_MASTER_SIZE", str(1 << 20)))
+
+
+def scaled_maxblocks(options: Options, nbytes: int) -> int:
+    """blocksplittingmax scaled to preserve the reference's split
+    density (15 blocks per 1e6-byte part, deflate.c:811-906) when TPU
+    masters are larger than the reference's."""
+    if not options.blocksplitting:
+        return 1
+    mb = options.blocksplittingmax
+    if nbytes > spec.MASTER_BLOCK_SIZE:
+        mb = -(-mb * nbytes // spec.MASTER_BLOCK_SIZE)
+    return mb
+
+
+def _seed_maxblocks(options: Options, nbytes: int = 0) -> int:
+    return scaled_maxblocks(options, nbytes)
 
 
 def _devseed_trace(tracer, entry):
@@ -222,6 +247,7 @@ def split_master(options: Options, data: np.ndarray, instart: int,
 
     if not options.blocksplitting:
         return [instart, inend]
+    maxblocks = scaled_maxblocks(options, inend - instart)
     use_dev = _os.environ.get("ZT_DEVICE_SPLIT")
     if use_dev is None:
         use_dev = "1" if options.engine == "tpu" else "0"
@@ -232,12 +258,11 @@ def split_master(options: Options, data: np.ndarray, instart: int,
         litlens, dists = greedy_fn(data, instart, inend)
         store = LZ77Store(data, litlens, dists, instart)
         lz77_points = block_split_lz77_device(
-            litlens.astype(np.int32), dists.astype(np.int32),
-            options.blocksplittingmax)
+            litlens.astype(np.int32), dists.astype(np.int32), maxblocks)
         pts = [int(store.pos[p]) for p in lz77_points]
     else:
         pts = blocks.block_split(data, instart, inend,
-                                 options.blocksplittingmax, greedy_fn)
+                                 maxblocks, greedy_fn)
     return [instart] + pts + [inend]
 
 
@@ -264,7 +289,7 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
         from .squeeze_batched import devseed_collect, devseed_dispatch
         entry = devseed_dispatch(data, [(instart, inend)],
                                  options.numiterations,
-                                 _seed_maxblocks(options),
+                                 _seed_maxblocks(options, inend - instart),
                                  mesh=local_mesh())
         res = devseed_collect(entry, options.numiterations,
                               trace=_devseed_trace(tracer, entry))[0]
@@ -322,9 +347,53 @@ def _block_split_lz77_device(lz77, maxblocks: int) -> list[int]:
         maxblocks, floor=1024)
 
 
+def prepare_second_split(options: Options, stores: list):
+    """Async prep for finish_part: queue the device second-split search.
+
+    Returns (lz77, handle) to pass as finish_part's presplit — the
+    device search runs while the host does other emission work.
+    """
+    from .ops import devsplit as _ds
+
+    lz77 = concat_stores(stores)
+    handle = None
+    if options.blocksplitting and len(stores) > 2:
+        handle = _ds.block_split_lz77_device_dispatch(
+            lz77.litlens.astype(np.int32), lz77.dists.astype(np.int32),
+            scaled_maxblocks(options, lz77.byte_range(0, lz77.size)),
+            floor=1024)
+    return lz77, handle
+
+
+def emit_results(options: Options, data: np.ndarray, chunk, results,
+                 out_for, factory_for) -> None:
+    """Emit one devseed chunk's results, overlapping the device
+    second-split searches with the host's per-master emission.
+
+    chunk: [(start, end, fin, ...)]; results from devseed_collect.
+    out_for(i) -> BitStream; factory_for(i) -> engine factory.
+    """
+    presplits = [prepare_second_split(options, res[1])
+                 if res[0] == "stores" and options.engine == "tpu" else None
+                 for res in results]
+    for i, (m, res, ps) in enumerate(zip(chunk, results, presplits)):
+        start, end, fin = m[0], m[1], m[2]
+        if res[0] == "stored":
+            add_non_compressed_block(fin, data, start, end, out_for(i))
+        else:
+            finish_part(options, fin, res[1], out_for(i), factory_for(i),
+                        presplit=ps)
+
+
 def finish_part(options: Options, final: bool, stores: list,
-                out: BitStream, engine_factory) -> None:
-    """Second split attempt + emission for one master's parsed blocks."""
+                out: BitStream, engine_factory, presplit=None) -> None:
+    """Second split attempt + emission for one master's parsed blocks.
+
+    presplit: optional (lz77, device handle) from prepare_second_split
+    (the device search then overlaps the host cost pass below).
+    """
+    from .ops import devsplit as _ds
+
     tracer = options.tracer
     totalcost = 0.0
     splitpoints = []
@@ -335,17 +404,20 @@ def finish_part(options: Options, final: bool, stores: list,
         if i + 1 < len(stores):
             splitpoints.append(acc)
 
-    lz77 = concat_stores(stores)
+    lz77 = presplit[0] if presplit is not None else concat_stores(stores)
 
     # Second splitting attempt on the optimal parse (deflate.c:872-893).
     if options.blocksplitting and len(splitpoints) > 1:
-        if options.engine == "tpu":
+        if presplit is not None:
+            splitpoints2 = _ds.block_split_lz77_device_collect(presplit[1])
+        elif options.engine == "tpu":
             # Same search on device (ops.devsplit, differential-tested
             # against the host splitter): one dispatch instead of ~0.25
             # s/MiB of host FindMinimum probes through the native cost
             # context.
             splitpoints2 = _block_split_lz77_device(
-                lz77, options.blocksplittingmax)
+                lz77, scaled_maxblocks(options, lz77.byte_range(0,
+                                                                lz77.size)))
         else:
             splitpoints2 = blocks.block_split_lz77(
                 lz77, options.blocksplittingmax)
@@ -378,11 +450,13 @@ def deflate(options: Options, btype: int, final: bool, data: np.ndarray,
     data = np.ascontiguousarray(np.frombuffer(bytes(data), dtype=np.uint8)
                                 if not isinstance(data, np.ndarray) else data)
     insize = len(data)
+    msize = (tpu_master_size() if options.engine == "tpu"
+             else spec.MASTER_BLOCK_SIZE)
     masters = []
     i = 0
     while True:
-        masterfinal = i + spec.MASTER_BLOCK_SIZE >= insize
-        size = insize - i if masterfinal else spec.MASTER_BLOCK_SIZE
+        masterfinal = i + msize >= insize
+        size = insize - i if masterfinal else msize
         masters.append((i, i + size, final and masterfinal))
         i += size
         if i >= insize:
@@ -464,7 +538,8 @@ def _deflate_fused_masters(options: Options, data: np.ndarray, masters,
         start, end, _fin = m
         # Upper bound: block splitting adds at most blocksplittingmax-1
         # partial tiles on top of the unsplit tile count.
-        est = -(-(end - start) // fused_engine.TILE) + 16
+        est = (-(-(end - start) // fused_engine.TILE)
+               + scaled_maxblocks(options, end - start) + 1)
         if chunks[-1] and acc + est > budget:
             chunks.append([])
             acc = 0
@@ -474,7 +549,8 @@ def _deflate_fused_masters(options: Options, data: np.ndarray, masters,
     # the host splits/seeds chunk N+1 and then emits chunk N-1 — the
     # serial host work hides under device compute at corpus scale.
     if _use_devseed(options):
-        from .squeeze_batched import devseed_collect, devseed_dispatch
+        from .squeeze_batched import (devseed_collect, devseed_dispatch,
+                                      devseed_fire)
 
         pending = None  # (chunk, entry)
 
@@ -483,18 +559,23 @@ def _deflate_fused_masters(options: Options, data: np.ndarray, masters,
             results = devseed_collect(entry, options.numiterations,
                                       trace=_devseed_trace(options.tracer,
                                                            entry))
-            for (start, end, fin), res in zip(chunk, results):
-                if res[0] == "stored":
-                    add_non_compressed_block(fin, data, start, end, out)
-                else:
-                    finish_part(options, fin, res[1], out, engine_factory)
+            emit_results(options, data, chunk, results,
+                         lambda i: out, lambda i: engine_factory)
 
+        # Software pipeline: queue chunk N's seed programs, emit chunk
+        # N-1 (host) while the device runs them, then sync seeds and
+        # queue chunk N's squeeze.  Host emission hides under the
+        # device's seed phase instead of leaving it idle.
         for chunk in chunks:
-            entry = devseed_dispatch(
-                data, [(start, end) for (start, end, _fin) in chunk],
-                options.numiterations, _seed_maxblocks(options), mesh=mesh)
+            ranges = [(start, end) for (start, end, _fin) in chunk]
+            mb = max(_seed_maxblocks(options, end - start)
+                     for (start, end, _fin) in chunk)
+            fired = devseed_fire(data, ranges, mb, mesh=mesh,
+                                 numiterations=options.numiterations)
             if pending is not None:
                 emit_ds(pending)
+            entry = devseed_dispatch(data, ranges, options.numiterations,
+                                     mb, mesh=mesh, fired=fired)
             pending = (chunk, entry)
         emit_ds(pending)
         return
@@ -538,12 +619,13 @@ def deflate_many(options: Options, data: np.ndarray, blob_ranges,
     from .squeeze_batched import devseed_collect, devseed_dispatch
 
     engine_factory = default_engine_factory(options)
+    msize = tpu_master_size()
     masters = []            # (start, end, final, blob_idx)
     for bi, (bs, be) in enumerate(blob_ranges):
         i = bs
         while True:
-            fin = i + spec.MASTER_BLOCK_SIZE >= be
-            size = (be - i) if fin else spec.MASTER_BLOCK_SIZE
+            fin = i + msize >= be
+            size = (be - i) if fin else msize
             masters.append((i, i + size, fin, bi))
             i += size
             if i >= be:
@@ -555,7 +637,8 @@ def deflate_many(options: Options, data: np.ndarray, blob_ranges,
     acc = 0
     for m in masters:
         start, end = m[0], m[1]
-        est = -(-(end - start) // fused_engine.TILE) + 16
+        est = (-(-(end - start) // fused_engine.TILE)
+               + scaled_maxblocks(options, end - start) + 1)
         if chunks[-1] and acc + est > budget:
             chunks.append([])
             acc = 0
@@ -578,20 +661,26 @@ def deflate_many(options: Options, data: np.ndarray, blob_ranges,
         results = devseed_collect(entry, options.numiterations,
                                   trace=_devseed_trace(options.tracer,
                                                        entry))
-        for (start, end, fin, bi), res in zip(chunk, results):
-            if res[0] == "stored":
-                add_non_compressed_block(fin, data, start, end, outs[bi])
-            else:
-                finish_part(options, fin, res[1], outs[bi],
-                            blob_factory(bi))
+        emit_results(options, data, chunk, results,
+                     lambda i: outs[chunk[i][3]],
+                     lambda i: blob_factory(chunk[i][3]))
+
+    from .squeeze_batched import devseed_fire
+
+    mesh = local_mesh()
     for chunk in chunks:
-        entry = devseed_dispatch(
-            data, [(start, end) for (start, end, _f, _b) in chunk],
-            options.numiterations, _seed_maxblocks(options),
-            mesh=local_mesh(),
-            window_starts=[blob_start[bi] for (_s, _e, _f, bi) in chunk])
+        ranges = [(start, end) for (start, end, _f, _b) in chunk]
+        wstarts = [blob_start[bi] for (_s, _e, _f, bi) in chunk]
+        mb = max(_seed_maxblocks(options, end - start)
+                 for (start, end) in ranges)
+        fired = devseed_fire(data, ranges, mb, window_starts=wstarts,
+                             mesh=mesh,
+                             numiterations=options.numiterations)
         if pending is not None:
             emit_ds(pending)
+        entry = devseed_dispatch(data, ranges, options.numiterations, mb,
+                                 mesh=mesh, window_starts=wstarts,
+                                 fired=fired)
         pending = (chunk, entry)
     emit_ds(pending)
 

@@ -306,6 +306,36 @@ def split_lz77_device(litlens: jnp.ndarray, dists: jnp.ndarray,
     return sp, npts
 
 
+def block_split_lz77_device_dispatch(litlens: np.ndarray,
+                                     dists: np.ndarray,
+                                     maxblocks: int = 15,
+                                     floor: int = CKPT):
+    """Async half of block_split_lz77_device: queue the device search.
+
+    Returns an opaque handle for ..._collect() (None for tiny stores).
+    """
+    n = len(litlens)
+    if n < 10:
+        return None
+    ncap = max(CKPT, floor)
+    while ncap < n + 1:
+        ncap *= 2
+    ll = np.zeros(ncap, np.int32)
+    dd = np.zeros(ncap, np.int32)
+    ll[:n] = litlens
+    dd[:n] = dists
+    return split_lz77_device(jnp.asarray(ll), jnp.asarray(dd),
+                             ncap, maxblocks, jnp.int32(n))
+
+
+def block_split_lz77_device_collect(handle) -> list[int]:
+    """Blocking half of block_split_lz77_device_dispatch."""
+    if handle is None:
+        return []
+    sp, npts = handle
+    return [int(x) for x in np.asarray(sp)[:int(npts)]]
+
+
 def block_split_lz77_device(litlens: np.ndarray, dists: np.ndarray,
                             maxblocks: int = 15,
                             floor: int = CKPT) -> list[int]:
@@ -315,16 +345,5 @@ def block_split_lz77_device(litlens: np.ndarray, dists: np.ndarray,
     larger floor to keep the compiled shape set small (capacity only
     pads; results are identical for any ncap >= n + 1).
     """
-    n = len(litlens)
-    if n < 10:
-        return []
-    ncap = max(CKPT, floor)
-    while ncap < n + 1:
-        ncap *= 2
-    ll = np.zeros(ncap, np.int32)
-    dd = np.zeros(ncap, np.int32)
-    ll[:n] = litlens
-    dd[:n] = dists
-    sp, npts = split_lz77_device(jnp.asarray(ll), jnp.asarray(dd),
-                                 ncap, maxblocks, jnp.int32(n))
-    return [int(x) for x in np.asarray(sp)[:int(npts)]]
+    return block_split_lz77_device_collect(
+        block_split_lz77_device_dispatch(litlens, dists, maxblocks, floor))

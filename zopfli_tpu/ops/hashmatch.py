@@ -368,13 +368,24 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
 
     pos = jnp.arange(L, dtype=jnp.int32)[:, None] + instart
     cap = jnp.clip(inend_real - pos, 0, spec.MAX_MATCH)   # (L, 1)
+    cap16 = cap.astype(jnp.int16)
+
+    # Candidate (length, dist) columns are 16-bit from here on: lengths
+    # fit i16 (<= 258), distances fit u16 (sentinel WINDOW_SIZE+1 =
+    # 32769 < 65536).  The (L, ~70) column tables are the largest
+    # materializations in the build (the concat alone was ~0.4 s/MiB at
+    # i32 — exp_r4_candphases/exp_r5_knobs); halving element width
+    # halves that HBM traffic, and the skyline below sorts ONE packed
+    # u32 key instead of multi-array payloads.
 
     # Suffix-neighbor candidates (lengths already ladder-quantized).
-    ln_n = cand_lvl.astype(jnp.int32)
     valid_n = (cand_pos >= 0) & (cand_pos >= min_pos) & (cand_pos < pos)
-    dist_n = jnp.where(valid_n, pos - cand_pos, spec.WINDOW_SIZE + 1)
-    ln_n = jnp.where(valid_n & (dist_n <= spec.WINDOW_SIZE), ln_n, 0)
-    ln_n = jnp.minimum(ln_n, cap)
+    dist_n32 = jnp.where(valid_n, pos - cand_pos, spec.WINDOW_SIZE + 1)
+    ok_n = valid_n & (dist_n32 <= spec.WINDOW_SIZE)
+    dist_n = jnp.where(ok_n, dist_n32, spec.WINDOW_SIZE + 1) \
+        .astype(jnp.uint16)
+    ln_n = jnp.where(ok_n, cand_lvl, np.int16(0))
+    ln_n = jnp.minimum(ln_n, cap16)
 
     # Per-level most-recent candidates: the minimum distance achieving
     # each ladder length (distance precision for short/mid matches).
@@ -403,11 +414,14 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
 
     ln_parts = [ln_n]
     dist_parts = [dist_n]
-    lvl_arr = np.asarray(recent_levels, np.int32)
+    lvl_arr = np.asarray(recent_levels, np.int16)
     valid_r = recent_all >= 0
-    dist_r = jnp.where(valid_r, pos.T - recent_all, spec.WINDOW_SIZE + 1)
-    ln_r = jnp.where(valid_r, lvl_arr[:, None], 0)
-    ln_parts.append(jnp.minimum(ln_r, cap.T).T)
+    # recents were built with dist <= WINDOW_SIZE (mask `ok` above), so
+    # valid entries fit u16 directly.
+    dist_r = jnp.where(valid_r, pos.T - recent_all,
+                       spec.WINDOW_SIZE + 1).astype(jnp.uint16)
+    ln_r = jnp.where(valid_r, lvl_arr[:, None], np.int16(0))
+    ln_parts.append(jnp.minimum(ln_r, cap16.T).T)
     dist_parts.append(dist_r.T)
 
     # k=2 recents: the SECOND most-recent occurrence per rung, for rungs
@@ -433,9 +447,10 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         recent2 = recent2.at[jnp.arange(nr)[:, None], si].set(cand2)
         recent2 = recent2[rows_a][:, instart:instart + L]     # (K2, L)
         valid2 = recent2 >= 0
-        dist2 = jnp.where(valid2, pos.T - recent2, spec.WINDOW_SIZE + 1)
-        ln2 = jnp.where(valid2, lvl_arr[rows_a][:, None], 0)
-        ln_parts.append(jnp.minimum(ln2, cap.T).T)
+        dist2 = jnp.where(valid2, pos.T - recent2,
+                          spec.WINDOW_SIZE + 1).astype(jnp.uint16)
+        ln2 = jnp.where(valid2, lvl_arr[rows_a][:, None], np.int16(0))
+        ln_parts.append(jnp.minimum(ln2, cap16.T).T)
         dist_parts.append(dist2.T)
     if stage == 5:        # profiling early-exit: + recents (+k2)
         return ln_parts[-1], dist_parts[-1], cand_pos
@@ -455,20 +470,20 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
         eq_rows = jnp.stack([
             jnp.concatenate([jnp.zeros(d, bool), x[d:] == x[:-d]])
             for d in range(1, short_dists + 1)])          # (D, n)
-        r = eq_rows.astype(jnp.int32)
+        r = eq_rows.astype(jnp.int16)
         for s in (1, 2, 4, 8, 16, 32, 64, 128, 256):
             sh = jnp.concatenate(
-                [r[:, s:], jnp.zeros((short_dists, s), jnp.int32)],
+                [r[:, s:], jnp.zeros((short_dists, s), jnp.int16)],
                 axis=1)
-            r = jnp.where(r == s, r + sh, r)
+            r = jnp.where(r == np.int16(s), r + sh, r)
         runlen = r                                        # (D, n)
         dvec = jnp.arange(1, short_dists + 1, dtype=jnp.int32)
         # Source must be a real (halo) byte: p - d >= min_pos.
         ok = (iota_n[None, :] - dvec[:, None]) >= min_pos
-        ln_sd = jnp.where(ok, runlen, 0)[:, instart:instart + L].T
-        ln_parts.append(jnp.minimum(ln_sd, cap))
+        ln_sd = jnp.where(ok, runlen, np.int16(0))[:, instart:instart + L].T
+        ln_parts.append(jnp.minimum(ln_sd, cap16))
         dist_parts.append(jnp.broadcast_to(
-            jnp.arange(1, short_dists + 1, dtype=jnp.int32)[None, :],
+            jnp.arange(1, short_dists + 1, dtype=jnp.uint16)[None, :],
             (L, short_dists)))
 
     lcp = jnp.concatenate(ln_parts, axis=1)
@@ -533,10 +548,11 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     if short_dists:
         selectable = np.ones(C, bool)
         selectable[C - short_dists:] = False
-        lcp_work = jnp.where(jnp.asarray(selectable)[None, :], lcp, 0)
+        lcp_work = jnp.where(jnp.asarray(selectable)[None, :], lcp,
+                             np.int16(0))
     n_neigh = 2 * NEIGHBORS
     # Rounds are scatter- and gather-free (r5): the chosen column is
-    # read with a one-hot select-sum, removed from the skyline input
+    # read with a one-hot select-max, removed from the skyline input
     # with an elementwise where, and the refined entry is APPENDED as a
     # new column — the skyline only sees the entry set, so this is
     # exactly equivalent to the former in-place .at[rows, bestk].set
@@ -554,33 +570,38 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
             rsel = np.zeros(C, bool)
             rsel[n_neigh:n_neigh + len(recent_levels)] = True
             bestk = jnp.argmax(
-                jnp.where(jnp.asarray(rsel)[None, :], lcp_work, 0), axis=1)
+                jnp.where(jnp.asarray(rsel)[None, :], lcp_work,
+                          np.int16(0)), axis=1)
         elif kind == "2":
             # Longest k=2-recent claim: same-rung second occurrences
             # are skyline-dominated until extended past their rung.
             rsel = np.zeros(C, bool)
             rsel[n_neigh + nr:n_neigh + nr + n_k2] = True
             bestk = jnp.argmax(
-                jnp.where(jnp.asarray(rsel)[None, :], lcp_work, 0), axis=1)
+                jnp.where(jnp.asarray(rsel)[None, :], lcp_work,
+                          np.int16(0)), axis=1)
         else:
             dist_work = jnp.where(lcp_work >= spec.MIN_MATCH, dist,
-                                  np.int32(1 << 30))
+                                  np.uint16(65535))
             bestk = jnp.argmin(dist_work, axis=1)
         sel = iota_c[None, :] == bestk[:, None]          # (L, C)
-        bdist = jnp.sum(jnp.where(sel, dist, 0), axis=1)
-        claim = jnp.sum(jnp.where(sel, lcp_work, 0), axis=1)
+        bdist = jnp.max(jnp.where(sel, dist, np.uint16(0)),
+                        axis=1).astype(jnp.int32)
+        claim = jnp.max(jnp.where(sel, lcp_work, np.int16(0)),
+                        axis=1).astype(jnp.int32)
         has = claim >= spec.MIN_MATCH
         c1 = jnp.where(has, p1 - bdist, 0)
         ln = jnp.minimum(rmq_lcp(c1), cap1)
         refined = jnp.maximum(claim, jnp.where(has, ln, 0))
-        extra_ln.append(jnp.where(has, refined, 0))
-        extra_dist.append(jnp.where(has, bdist, spec.WINDOW_SIZE + 1))
+        extra_ln.append(jnp.where(has, refined, 0).astype(jnp.int16))
+        extra_dist.append(jnp.where(has, bdist, spec.WINDOW_SIZE + 1)
+                          .astype(jnp.uint16))
         # The appended column supersedes the chosen one: drop it from
         # the skyline input (only when actually refined) and from the
         # next round's selection (always — matching the former
         # unconditional lcp_work masking).
-        lcp = jnp.where(sel & has[:, None], 0, lcp)
-        lcp_work = jnp.where(sel, 0, lcp_work)
+        lcp = jnp.where(sel & has[:, None], np.int16(0), lcp)
+        lcp_work = jnp.where(sel, np.int16(0), lcp_work)
     if extra_ln:
         lcp = jnp.concatenate(
             [lcp] + [e[:, None] for e in extra_ln], axis=1)
@@ -591,28 +612,33 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     if stage == 7:        # profiling early-exit: + refinement rounds
         return lcp, dist, cand_pos
 
-    # Skyline: sort rows by (distance asc, length desc) WITH payloads
-    # (an argsort + take_along_axis pair costs ~1.6s/MiB in XLA
-    # gathers; a payload sort is one pass), then keep candidates whose
-    # length strictly exceeds every smaller-distance length.  The
-    # second key puts the longest same-distance entry first so its
-    # dominated duplicates never consume a condense slot (a 2-key
-    # comparator sort costs the same as 1-key on TPU).
-    mlcp = np.int32(spec.MAX_MATCH) - lcp
-    dist_s, mlcp_s = jax.lax.sort((dist, mlcp), num_keys=2,
-                                  is_stable=False, dimension=1)
-    lcp_s = np.int32(spec.MAX_MATCH) - mlcp_s
-    run_best = jax.lax.cummax(
-        jnp.concatenate([jnp.full((L, 1), spec.MIN_MATCH - 1),
-                         lcp_s[:, :-1]], axis=1), axis=1)
-    keep = (lcp_s > run_best) & (lcp_s >= spec.MIN_MATCH) & \
-        (dist_s <= spec.WINDOW_SIZE)
+    # Skyline: sort rows by ONE packed u32 key, dist << 9 | (258 - len)
+    # == (distance asc, length desc) — no payload arrays (the former
+    # 2-key payload sort moved 4x the bytes), then keep candidates
+    # whose length strictly exceeds every smaller-distance length.
+    MM = np.uint32(spec.MAX_MATCH)
+    packed = (dist.astype(jnp.uint32) << 9) | \
+        (MM - lcp.astype(jnp.uint32))
+    packed_s = jax.lax.sort(packed, dimension=1, is_stable=False)
+    enc_s = (packed_s & np.uint32(511)).astype(jnp.int16)  # 258 - len
+    # Running min of enc == running max of length; init = 258 -
+    # (MIN_MATCH - 1).
+    run_min = jax.lax.cummin(
+        jnp.concatenate(
+            [jnp.full((L, 1), np.int16(spec.MAX_MATCH - spec.MIN_MATCH + 1)),
+             enc_s[:, :-1]], axis=1), axis=1)
+    keep = (enc_s < run_min) & \
+        (enc_s <= np.int16(spec.MAX_MATCH - spec.MIN_MATCH)) & \
+        (packed_s < np.uint32((spec.WINDOW_SIZE + 1) << 9))
 
-    best_len = jnp.max(jnp.where(keep, lcp_s, 0), axis=1)
+    best_len = (np.int32(spec.MAX_MATCH) - jnp.min(
+        jnp.where(keep, enc_s, np.int16(spec.MAX_MATCH)),
+        axis=1).astype(jnp.int32))
 
     # Condense to max_bp slots (first max_bp-1 kept plus the final,
-    # longest one) via one more payload sort instead of a scatter: rank
-    # kept entries by their slot, park dropped ones at the end.
+    # longest one) via one more single-key u32 sort: rank (7b) | len
+    # (9b) | dist (16b), dropped entries parked at rank C.
+    assert C < 128, C
     slot = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
     slot = jnp.where(keep, slot, C)
     nkept = jnp.sum(keep, axis=1)
@@ -621,9 +647,10 @@ def build_candidates(data_padded: jnp.ndarray, block_cap: int,
     rank = jnp.where(
         slot < max_bp - 1, slot,
         jnp.where(is_last, jnp.minimum(last_slot, max_bp - 1)[:, None], C))
-    keep_len = jnp.where(keep, lcp_s, 0)
-    keep_dist = jnp.where(keep, dist_s, 0)
-    _, bp_len, bp_dist = jax.lax.sort(
-        (rank, keep_len, keep_dist), num_keys=1, is_stable=True,
-        dimension=1)
-    return bp_len[:, :max_bp], bp_dist[:, :max_bp], best_len
+    lenbits = jnp.where(keep, MM - enc_s.astype(jnp.uint32), np.uint32(0))
+    distbits = jnp.where(keep, packed_s >> 9, np.uint32(0))
+    v = (rank.astype(jnp.uint32) << 25) | (lenbits << 16) | distbits
+    v_s = jax.lax.sort(v, dimension=1, is_stable=False)[:, :max_bp]
+    bp_len = ((v_s >> 16) & np.uint32(511)).astype(jnp.int32)
+    bp_dist = (v_s & np.uint32(65535)).astype(jnp.int32)
+    return bp_len, bp_dist, best_len

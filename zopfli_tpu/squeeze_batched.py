@@ -112,9 +112,53 @@ def _entropy_f64(counts: np.ndarray) -> np.ndarray:
 # Device-seeded path: zero host greedy (VERDICT r2 item 2).
 # ---------------------------------------------------------------------------
 
+def _use_mega(inend: int, instart: int, mesh) -> bool:
+    from .ops import mega as mega_mod
+    return (mesh is None and mega_mod.enabled()
+            and inend - instart >= mega_mod.MEGA_MIN)
+
+
+def devseed_fire(data: np.ndarray, ranges, maxblocks: int = 15,
+                 interpret: bool | None = None, window_starts=None,
+                 mesh=None, numiterations: int = 15):
+    """Queue the seed (or megafused) programs for a chunk of masters.
+
+    First half of devseed_dispatch, exposed so the caller can do host
+    work (emitting the previous chunk) while the device runs the seed
+    phase — pass the result as devseed_dispatch(..., fired=...).
+
+    Large masters (>= ops.mega.MEGA_MIN, single-device) dispatch the
+    whole seed+split+squeeze pipeline as ONE megafused program; smaller
+    masters keep the two-phase path whose squeeze shares lane groups
+    across the chunk.
+    """
+    import jax
+
+    from .ops import mega as mega_mod
+    from .ops import seed as seed_mod
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if window_starts is None:
+        window_starts = [0] * len(ranges)
+    handles = []
+    for (instart, inend), ws in zip(ranges, window_starts):
+        cheap = seed_mod.probably_incompressible(data, instart, inend)
+        if not cheap and _use_mega(inend, instart, mesh):
+            handles.append(("mega", ws, mega_mod.mega_dispatch(
+                data, instart, inend, maxblocks, numiterations,
+                interpret=interpret, window_start=ws)))
+        else:
+            handles.append(("seed", cheap, ws, seed_mod.seed_dispatch(
+                data, instart, inend, maxblocks, interpret=interpret,
+                cheap=cheap, window_start=ws)))
+    return handles
+
+
 def devseed_dispatch(data: np.ndarray, ranges, numiterations: int,
                      maxblocks: int = 15, mesh=None,
-                     interpret: bool | None = None, window_starts=None):
+                     interpret: bool | None = None, window_starts=None,
+                     fired=None):
     """Seed + split + squeeze-dispatch for a chunk of masters, no greedy.
 
     ranges: [(instart, inend)].  Per master, the seed program (ops.seed)
@@ -125,6 +169,8 @@ def devseed_dispatch(data: np.ndarray, ranges, numiterations: int,
 
     window_starts: per-range first byte the LZ77 halo may reach back to
     (multi-file batches concatenate independent inputs into one array).
+    fired: optional result of devseed_fire (seed programs already
+    queued, so the host could emit the previous chunk in between).
 
     Returns an opaque entry for devseed_collect().
     """
@@ -140,47 +186,58 @@ def devseed_dispatch(data: np.ndarray, ranges, numiterations: int,
     if window_starts is None:
         window_starts = [0] * len(ranges)
 
+    from .ops import mega as mega_mod
+
     # All seed programs go in flight before any result is pulled: the
     # device pipeline stays busy and the per-master host sync cost is
     # paid once at the end (43-file PNG batches would otherwise chain
     # 43 dispatch+sync round trips).
-    handles = []
-    for (instart, inend), ws in zip(ranges, window_starts):
-        cheap = seed_mod.probably_incompressible(data, instart, inend)
-        handles.append((cheap, ws, seed_mod.seed_dispatch(
-            data, instart, inend, maxblocks, interpret=interpret,
-            cheap=cheap, window_start=ws)))
-    seeds = []
-    for (instart, inend), (cheap, ws, h) in zip(ranges, handles):
+    handles = fired if fired is not None else devseed_fire(
+        data, ranges, maxblocks, interpret, window_starts, mesh=mesh,
+        numiterations=numiterations)
+    seeds = [None] * len(ranges)     # SeedResult for the fs path
+    megas = [None] * len(ranges)     # mega handle (pulled in collect)
+    for i, ((instart, inend), tagged) in enumerate(zip(ranges, handles)):
+        if tagged[0] == "mega":
+            megas[i] = tagged[2]
+            continue
+        _, cheap, ws, h = tagged
         sr = seed_mod.seed_finish(h)
         if cheap and not sr.all_stored:
-            # Probe false-positive: redo with full-quality candidates.
+            # Probe false-positive: redo with full-quality candidates
+            # (megafused when the master qualifies).
+            if _use_mega(inend, instart, mesh):
+                megas[i] = mega_mod.mega_dispatch(
+                    data, instart, inend, maxblocks, numiterations,
+                    interpret=interpret, window_start=ws)
+                continue
             sr = seed_mod.seed_master(data, instart, inend, maxblocks,
                                       interpret=interpret, cheap=False,
                                       window_start=ws)
-        seeds.append(sr)
+        seeds[i] = sr
 
-    live = [i for i, sr in enumerate(seeds) if not sr.all_stored]
-    if not live:
-        return (ranges, seeds, None, None)
+    live = [i for i, sr in enumerate(seeds)
+            if sr is not None and not sr.all_stored]
+    fs = handle = None
+    if live:
+        masters = [(ranges[i][0], ranges[i][1], seeds[i].bounds)
+                   for i in live]
+        cand = [(seeds[i].bp_len, seeds[i].bp_dist) for i in live]
+        fs = fused_engine.FusedSqueeze(data, masters, interpret=interpret,
+                                       mesh=mesh, cand=cand,
+                                       window_starts=[window_starts[i]
+                                                      for i in live])
+        # Exact density prediction from the seed parse (pow2-bucketed).
+        want = int(max(seeds[i].max_lane_rows for i in live) * 1.5) + 8
+        cap = 512
+        while cap < want and cap < fused_engine.TILE:
+            cap *= 2
+        fs.default_fetch_cap = min(cap, fused_engine.TILE)
 
-    masters = [(ranges[i][0], ranges[i][1], seeds[i].bounds) for i in live]
-    cand = [(seeds[i].bp_len, seeds[i].bp_dist) for i in live]
-    fs = fused_engine.FusedSqueeze(data, masters, interpret=interpret,
-                                   mesh=mesh, cand=cand,
-                                   window_starts=[window_starts[i]
-                                                  for i in live])
-    # Exact density prediction from the seed parse (pow2-bucketed).
-    want = int(max(seeds[i].max_lane_rows for i in live) * 1.5) + 8
-    cap = 512
-    while cap < want and cap < fused_engine.TILE:
-        cap *= 2
-    fs.default_fetch_cap = min(cap, fused_engine.TILE)
-
-    seed_ll = np.vstack([seeds[i].seed_ll for i in live])
-    seed_d = np.vstack([seeds[i].seed_d for i in live])
-    handle = fs.dispatch(seed_ll, seed_d, numiterations)
-    return (ranges, seeds, fs, handle)
+        seed_ll = np.vstack([seeds[i].seed_ll for i in live])
+        seed_d = np.vstack([seeds[i].seed_d for i in live])
+        handle = fs.dispatch(seed_ll, seed_d, numiterations)
+    return (ranges, seeds, fs, handle, megas)
 
 
 def devseed_collect(entry, numiterations: int, trace=None):
@@ -189,12 +246,27 @@ def devseed_collect(entry, numiterations: int, trace=None):
     Returns one result per master: ("stores", [LZ77Store...]) for
     squeezed masters, ("stored", instart, inend) for stored-exit ones.
     """
-    ranges, seeds, fs, handle = entry
+    from .ops import mega as mega_mod
+
+    ranges, seeds, fs, handle, megas = entry
     results = [None] * len(ranges)
+    # Megafused masters were queued first: pull them first.
+    for i, mh in enumerate(megas):
+        if mh is None:
+            continue
+        mr = mega_mod.mega_finish(mh)
+        instart, inend = ranges[i]
+        if mr.all_stored:
+            results[i] = ("stored", instart, inend)
+        else:
+            results[i] = ("stores",
+                          fused_collect(mr, None, numiterations)[0])
     if fs is not None:
         all_stores = fused_collect(fs, handle, numiterations, trace=trace)
     k = 0
     for i, (sr, (instart, inend)) in enumerate(zip(seeds, ranges)):
+        if sr is None:
+            continue               # mega master, handled above
         if sr.all_stored:
             results[i] = ("stored", instart, inend)
         else:
