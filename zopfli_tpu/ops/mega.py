@@ -56,7 +56,16 @@ MEGA_MIN = int(os.environ.get("ZT_MEGA_MIN", str(1 << 19)))
 
 
 def enabled() -> bool:
-    return os.environ.get("ZT_MEGA", "1") != "0"
+    """Megafused routing toggle (ZT_MEGA=1 to enable).
+
+    Measured on a v5e chip (8 MiB, warm): the single-dispatch mega is
+    byte-identical to the two-dispatch devseed path but ~0.1 s/MiB
+    slower in batches — per-master squeeze loops repay the iteration-
+    control ops the batched FusedSqueeze amortizes across a chunk.
+    Default off; kept as validated infrastructure (tests_tpu/ asserts
+    bit-equality, which doubles as the TPU miscompile sentinel).
+    """
+    return os.environ.get("ZT_MEGA", "0") == "1"
 
 
 @functools.lru_cache(maxsize=None)
@@ -274,6 +283,13 @@ def make_mega(cap: int, maxblocks: int, nv: int, fetch_cap: int,
         bl = bp_len[rows_c]                                   # (NL, T, K)
         bd = bp_dist[rows_c]
         lit = data_block[rows_c]                              # (NL, T)
+        # Barrier BETWEEN the gathers and the min/transpose chain:
+        # XLA:TPU miscompiles the fused shared-index-gather +
+        # transpose/min composition at >= 512 KiB caps (element-0
+        # broadcast — the r4 seed-stats bug, reproduced here when the
+        # barrier was only on the inputs).  Isolated gathers are
+        # correct; this forces that isolation.
+        bl, bd, lit = jax.lax.optimization_barrier((bl, bd, lit))
         maxlen = tile_nbytes[:, None] - pos_in_tile[None, :]
         bl = jnp.minimum(bl, maxlen[:, :, None])
         bl = jnp.where(bl >= spec.MIN_MATCH, bl, 0)
