@@ -291,12 +291,10 @@ def deflate_part(options: Options, btype: int, final: bool, data: np.ndarray,
                                  options.numiterations,
                                  _seed_maxblocks(options, inend - instart),
                                  mesh=local_mesh())
-        res = devseed_collect(entry, options.numiterations,
-                              trace=_devseed_trace(tracer, entry))[0]
-        if res[0] == "stored":
-            add_non_compressed_block(final, data, instart, inend, out)
-            return
-        finish_part(options, final, res[1], out, engine_factory)
+        results = devseed_collect(entry, options.numiterations,
+                                  trace=_devseed_trace(tracer, entry))
+        emit_results(options, data, [(instart, inend, final)], results,
+                     lambda i: out, lambda i: engine_factory)
         return
 
     bounds = split_master(options, data, instart, inend, greedy_fn)
@@ -373,9 +371,16 @@ def emit_results(options: Options, data: np.ndarray, chunk, results,
     chunk: [(start, end, fin, ...)]; results from devseed_collect.
     out_for(i) -> BitStream; factory_for(i) -> engine factory.
     """
-    presplits = [prepare_second_split(options, res[1])
-                 if res[0] == "stores" and options.engine == "tpu" else None
-                 for res in results]
+    def presplit_for(res):
+        if res[0] != "stores" or options.engine != "tpu":
+            return None
+        if len(res) > 2 and res[2] is not None:
+            # Megafused masters computed the whole second-split attempt
+            # (search + both cost totals) inside the main dispatch.
+            return ("decision", res[2])
+        return prepare_second_split(options, res[1])
+
+    presplits = [presplit_for(res) for res in results]
     for i, (m, res, ps) in enumerate(zip(chunk, results, presplits)):
         start, end, fin = m[0], m[1], m[2]
         if res[0] == "stored":
@@ -403,6 +408,24 @@ def finish_part(options: Options, final: bool, stores: list,
         acc += st.size
         if i + 1 < len(stores):
             splitpoints.append(acc)
+
+    if presplit is not None and presplit[0] == "decision":
+        # Megafused path: the search AND both exact cost totals were
+        # computed on device inside the main dispatch.
+        sp2, tc1, tc2 = presplit[1]
+        lz77 = concat_stores(stores)
+        if options.blocksplitting and len(splitpoints) > 1 and tc2 < tc1:
+            splitpoints = sp2
+        presplit = None
+        bounds = [0] + splitpoints + [lz77.size]
+        for i in range(len(bounds) - 1):
+            add_lz77_block_auto_type(options,
+                                     (i == len(bounds) - 2) and final,
+                                     lz77, bounds[i], bounds[i + 1], out,
+                                     engine_factory)
+            if tracer is not None:
+                tracer.block_done(bounds[i], bounds[i + 1], out.nbits)
+        return
 
     lz77 = presplit[0] if presplit is not None else concat_stores(stores)
 

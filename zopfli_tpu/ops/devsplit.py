@@ -101,6 +101,36 @@ def prefix_hist_at(ll_ck, d_ck, ll_sym, d_sym, pts, ncap: int):
     return base_ll + part_ll, base_d + part_d
 
 
+def autotype_costs(ll_ck, d_ck, ll_sym, d_sym, bcum, starts, ends,
+                   ncap: int, small_store):
+    """Exact auto-type bits of blocks [starts[i], ends[i]), batched.
+
+    Arrays as built by split_lz77_device(return_ck=True) +
+    stream_symbols; starts/ends (B,) symbol indices; small_store is the
+    GetFixedCost gate (deflate.c:612-615) — a scalar for the
+    whole-store rule or a (B,) vector for the per-block-store rule
+    (the reference applies it to whichever store the cost call sees).
+    Returns (B,) int32 (0-length blocks cost BIG).
+    """
+    pll, pd = prefix_hist_at(ll_ck, d_ck, ll_sym, d_sym,
+                             jnp.concatenate([starts, ends]), ncap)
+    B = starts.shape[0]
+    ll_h = pll[B:] - pll[:B]
+    d_h = pd[B:] - pd[:B]
+    length = bcum[jnp.minimum(ends, ncap)] - bcum[jnp.minimum(starts, ncap)]
+    rem = length % 65535
+    nblk = length // 65535 + (rem != 0)
+    unc = nblk * 40 + length * 8
+    dyn = 3 + costmodel.hist_dynamic_cost(ll_h, d_h)
+    ll_h1 = ll_h.at[:, 256].set(1)
+    fx = 3 + jnp.sum(
+        ll_h1 * (jnp.asarray(_FIXED_LL_BITS) + jnp.asarray(_LL_EXTRA)),
+        axis=1) + jnp.sum(d_h * (5 + jnp.asarray(_D_EXTRA)), axis=1)
+    fixed = jnp.where(small_store, fx, unc)
+    cost = jnp.minimum(jnp.minimum(unc, fixed), dyn)
+    return jnp.where(ends > starts, cost, BIG)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 6))
 def split_lz77_device(litlens: jnp.ndarray, dists: jnp.ndarray,
                       ncap: int, maxblocks: int, nsym: jnp.ndarray,

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import spec
-from . import costmodel, fused_engine, hashmatch, scan_kernel
+from . import costmodel, devsplit, fused_engine, hashmatch, scan_kernel
 from . import seed as seed_mod
 
 KBP = fused_engine.KBP
@@ -160,6 +160,7 @@ def _geometry(byte_splits, npts, L, cap: int, MB: int, NL: int,
     tile_nbytes = jnp.where(is_data, t_nb_d,
                             jnp.where(has_rep, t_nb_r, 0))
     tile_block = jnp.where(is_data, b_of, jnp.where(has_rep, rb_lane, 0))
+    lane_k = jnp.where(is_data, k, jnp.where(has_rep, k_r, 0))
 
     rows = jnp.arange(nb_pad, dtype=jnp.int32)
     oh = fit_s[None, :] & (rows[:, None] == rb_s[None, :])   # (nb_pad, S)
@@ -168,7 +169,7 @@ def _geometry(byte_splits, npts, L, cap: int, MB: int, NL: int,
         any_oh, jnp.sum(jnp.where(oh, b_s[None, :], 0), axis=1), rows)
     ordinal = jnp.sum(jnp.where(oh, rnd_s[None, :], 0), axis=1)
     return (tile_start, tile_nbytes, tile_block, nt0, nb_total,
-            replica_of, ordinal)
+            replica_of, ordinal, lane_k)
 
 
 def _replica_seeds(ll_h1, d_hist, replica_of, ordinal, pmask_ll, ptake_ll,
@@ -260,12 +261,111 @@ def make_mega(cap: int, maxblocks: int, nv: int, fetch_cap: int,
         def _step_core(i, state, *tens):
             return make_body(*tens)(i, state)
         _step_j = jax.jit(_step_core)
-        _finish_j = jax.jit(finish)
+    del finish  # mega uses its own byte-carrying finish below
+
+    LEN_MASK = scan_kernel.LEN_MASK
+    LB = scan_kernel.LEN_BITS
+    DCAP = cap + devsplit.CKPT
+    assert MB + 1 <= 64 and cap // TILE <= 1024, (MB, cap)  # perm key bits
+
+    def mega_finish(state, lit_t, geo, npts):
+        """Byte-carrying compaction + ON-DEVICE second split attempt.
+
+        Completes the reference's deflate.c:872-893 inside the same
+        dispatch: choose the best replica per block by exact cost,
+        build the chosen parse's global symbol stream (block order),
+        run the reference split search on it, and compute the exact
+        auto-type cost totals of BOTH bound sets (first-pass costs use
+        the per-block-store GetFixedCost gate, second-pass the
+        whole-store gate — matching the host exactly).  The host just
+        compares two integers.
+        """
+        (tile_start, tile_nbytes, tile_block, nt0, nb_total,
+         replica_of, ordinal, lane_k) = geo
+        (_, _, best_cost, best_sll, best_sd, _, _, _, best_pe) = state
+
+        litg = lit_t.reshape(G, TILE, LANES)
+        empty = (best_pe == 0).astype(jnp.int32)
+        _, pe_c, lit_c = jax.lax.sort((empty, best_pe, litg), num_keys=1,
+                                      is_stable=True, dimension=1)
+        pl_c = pe_c & LEN_MASK
+        # Literal rows carry their byte above the length bits (the seed
+        # program's packed-stream format); empty rows stay 0.
+        pe_pk = jnp.where(pl_c == 1, (lit_c << LB) | 1, pe_c)
+        nsym_lane = jnp.sum(1 - empty, axis=1)            # (G, LANES)
+        packed = pe_pk[:, :fetch_cap, :]
+
+        # Best replica per block: earliest strict minimum in rb order
+        # (the host collect's scan semantics) == lexicographic
+        # (cost, rb) minimum.
+        rows = jnp.arange(nb_pad, dtype=jnp.int32)
+        mask = replica_of[None, :] == rows[:, None]       # (o, rb)
+        costm = jnp.where(mask, best_cost[None, :], fused_engine.LARGE_COST)
+        minc = jnp.min(costm, axis=1)
+        chosen = jnp.min(jnp.where(mask & (costm == minc[:, None]),
+                                   rows[None, :], nb_pad), axis=1)
+
+        owner_c = replica_of[tile_block]                  # (NL,)
+        inc = (tile_nbytes > 0) & (chosen[owner_c] == tile_block)
+        nsym_flat = nsym_lane.reshape(-1)
+        nsym_eff = jnp.where(inc, nsym_flat, 0)
+        key = (owner_c << 16) | (tile_block << 10) | lane_k
+        lane_ids = jnp.arange(NL, dtype=jnp.int32)
+        _, perm = jax.lax.sort((key, lane_ids), num_keys=1, is_stable=True)
+        off_sorted = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32),
+             jnp.cumsum(nsym_eff[perm], dtype=jnp.int32)])[:-1]
+        off_lane = jnp.zeros(NL, jnp.int32).at[perm].set(off_sorted)
+        nsym_total = jnp.sum(nsym_eff)
+
+        k_pos = jnp.arange(TILE, dtype=jnp.int32)
+        off_g = off_lane.reshape(G, LANES)
+        inc_g = inc.reshape(G, LANES)
+        idx = off_g[:, None, :] + k_pos[None, :, None]
+        ok = (k_pos[None, :, None] < nsym_lane[:, None, :]) \
+            & inc_g[:, None, :]
+        idx = jnp.where(ok, idx, DCAP)
+        stream = jnp.zeros(DCAP, jnp.int32).at[idx.reshape(-1)].set(
+            pe_pk.reshape(-1), mode="drop")
+        pl_s = stream & LEN_MASK
+        hi_s = stream >> LB
+        lit_stream = jnp.where(pl_s >= spec.MIN_MATCH, pl_s, hi_s)
+        dist_stream = jnp.where(pl_s >= spec.MIN_MATCH, hi_s, 0)
+
+        sp2, npts2, ll_ck, d_ck, bcum = devsplit.split_lz77_device(
+            lit_stream, dist_stream, DCAP, MB, nsym_total, return_ck=True)
+        ll_sym, d_sym, _nb = devsplit.stream_symbols(
+            lit_stream, dist_stream, DCAP, nsym_total)
+
+        bidx = jnp.arange(MB + 1, dtype=jnp.int32)
+        nsym_blk = jnp.zeros(nb_pad, jnp.int32).at[owner_c].add(nsym_eff)
+        nsym_blk = nsym_blk[:MB + 1]
+        csum = jnp.cumsum(nsym_blk)
+        starts1 = jnp.concatenate([jnp.zeros(1, jnp.int32), csum])[:MB + 1]
+        ends1 = csum[:MB + 1]
+        live1 = (bidx <= npts) & (ends1 > starts1)
+        c1 = devsplit.autotype_costs(ll_ck, d_ck, ll_sym, d_sym, bcum,
+                                     starts1, ends1, DCAP,
+                                     nsym_blk <= 1000)
+        tc1 = jnp.sum(jnp.where(live1, c1, 0))
+        sp2c = jnp.minimum(sp2, nsym_total)
+        starts2 = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), sp2c])[:MB + 1]
+        ends2 = jnp.concatenate(
+            [sp2c, jnp.reshape(nsym_total, (1,))])[:MB + 1]
+        live2 = (bidx <= npts2) & (ends2 > starts2)
+        c2 = devsplit.autotype_costs(ll_ck, d_ck, ll_sym, d_sym, bcum,
+                                     starts2, ends2, DCAP,
+                                     nsym_total <= 1000)
+        tc2 = jnp.sum(jnp.where(live2, c2, 0))
+
+        return (best_cost, best_sll, best_sd, nsym_lane, packed,
+                state[8], sp2, npts2, tc1, tc2)
 
     def prepare_and_loop(bp_len, bp_dist, data_block, geo, seeds,
                          byte_values, ll_maps, d_maps, n_iter):
         (tile_start, tile_nbytes, tile_block, nt0, nb_total,
-         replica_of, ordinal) = geo
+         replica_of, ordinal, lane_k) = geo
         sll, sd, rep_off = seeds
 
         # Candidate slicing into block-aligned lanes (the former
@@ -325,13 +425,11 @@ def make_mega(cap: int, maxblocks: int, nv: int, fetch_cap: int,
         if not interpret:
             body = make_body(*tens)
             state = jax.lax.fori_loop(0, n_iter, body, init_state(sll, sd))
-            best_cost, best_sll, best_sd, nsym, packed = finish(state)
         else:
             state = init_state(sll, sd)
             for i in range(int(n_iter)):
                 state = _step_j(jnp.int32(i), state, *tens)
-            best_cost, best_sll, best_sd, nsym, packed = _finish_j(state)
-        return best_cost, best_sll, best_sd, nsym, packed, state[8]
+        return state, lit_t
 
     def run_core(buf, min_pos, inend_real, byte_values, ll_maps, d_maps,
                  pmask_ll, ptake_ll, pmask_d, ptake_d, n_iter):
@@ -345,12 +443,15 @@ def make_mega(cap: int, maxblocks: int, nv: int, fetch_cap: int,
                                nb_pad, chaos)
         data_block = buf[hashmatch.PREFIX:hashmatch.PREFIX + cap] \
             .astype(jnp.int32)
-        out = prepare_and_loop(bp_len, bp_dist, data_block, geo, seeds,
-                               byte_values, ll_maps, d_maps, n_iter)
-        (best_cost, best_sll, best_sd, nsym, packed, best_pe) = out
+        state, lit_t = prepare_and_loop(bp_len, bp_dist, data_block, geo,
+                                        seeds, byte_values, ll_maps,
+                                        d_maps, n_iter)
+        (best_cost, best_sll, best_sd, nsym, packed, best_pe,
+         sp2, npts2, tc1, tc2) = mega_finish(state, lit_t, geo, npts)
         return (byte_splits, npts, block_costs, ll_h1, d_hist,
                 best_cost, best_sll, best_sd, nsym, packed, best_pe,
-                geo[0], geo[1], geo[2], geo[4], geo[5], geo[6], nsym_seed)
+                geo[0], geo[1], geo[2], geo[4], geo[5], geo[6], nsym_seed,
+                sp2, npts2, tc1, tc2)
 
     if not interpret:
         return jax.jit(run_core)
@@ -373,7 +474,12 @@ class MegaResult:
         (byte_splits, npts, block_costs, ll_h1, d_hist,
          best_cost, best_sll, best_sd, nsym, packed, best_pe,
          tile_start, tile_nbytes, tile_block, nb_total,
-         replica_of, ordinal, nsym_seed) = out
+         replica_of, ordinal, nsym_seed, sp2, npts2, tc1, tc2) = out
+        # Device-computed second-split attempt (deflate.c:872-893):
+        # symbol indices into the concatenated chosen parse, plus the
+        # exact auto-type cost totals of both bound sets.
+        self.split2 = ([int(x) for x in np.asarray(sp2)[:int(npts2)]],
+                       int(tc1), int(tc2))
         npts = int(npts)
         bsp = [int(b) for b in np.asarray(byte_splits)[:npts]]
         self.bounds = [instart] + [instart + b for b in bsp] + [inend]
@@ -424,18 +530,25 @@ class MegaResult:
             for t in tiles:
                 g, lane = divmod(t, LANES)
                 if over:
+                    # Overflow pull: raw path edges (no bytes) —
+                    # literal bytes come from positions in the input.
                     rows = pe[g, :, lane]
                     rows = rows[rows != 0].astype(np.int64)
+                    pl = rows & 0x1FF
+                    pd = rows >> 9
+                    pos = np.concatenate([[0], np.cumsum(pl[:-1])])
+                    bytes_at = self.data[self.instart
+                                         + self.tile_start[t] + pos]
+                    lit = np.where(pl >= spec.MIN_MATCH, pl, bytes_at)
                 else:
+                    # Compact rows carry literal bytes in the high bits
+                    # (byte << 9 | 1) — no input gather needed.
                     k = int(nsym[t])
                     rows = packed[g, :k, lane].astype(np.int64)
-                pl = rows & 0x1FF
-                pd = rows >> 9
-                pos = np.concatenate([[0], np.cumsum(pl[:-1])])
-                bytes_at = self.data[self.instart + self.tile_start[t]
-                                     + pos]
-                lit_parts.append(np.where(pl >= spec.MIN_MATCH, pl,
-                                          bytes_at).astype(np.uint16))
+                    pl = rows & 0x1FF
+                    pd = np.where(pl >= spec.MIN_MATCH, rows >> 9, 0)
+                    lit = np.where(pl >= spec.MIN_MATCH, pl, rows >> 9)
+                lit_parts.append(lit.astype(np.uint16))
                 dist_parts.append(np.where(pl >= spec.MIN_MATCH, pd,
                                            0).astype(np.uint16))
             if lit_parts:

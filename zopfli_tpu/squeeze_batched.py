@@ -259,8 +259,13 @@ def devseed_collect(entry, numiterations: int, trace=None):
         if mr.all_stored:
             results[i] = ("stored", instart, inend)
         else:
-            results[i] = ("stores",
-                          fused_collect(mr, None, numiterations)[0])
+            fails = VERIFY_FAILS[0]
+            stores = fused_collect(mr, None, numiterations)[0]
+            # The device-computed second-split decision is only valid
+            # for the device's own parse; a hash-collision fallback
+            # replaced a block's parse, so let the host re-split.
+            split2 = mr.split2 if VERIFY_FAILS[0] == fails else None
+            results[i] = ("stores", stores, split2)
     if fs is not None:
         all_stores = fused_collect(fs, handle, numiterations, trace=trace)
     k = 0
