@@ -54,12 +54,13 @@ _DSYM_EXTRA[:30] = spec.DIST_SYM_EXTRA_BITS
 
 
 class FetchOverflow(Exception):
-    """A lane's path exceeded the compact fetch cap (dense parse)."""
+    """Legacy marker (the overflow path now pulls the resident path
+    tensor instead of re-running; kept for API compatibility)."""
 
 
-# Diagnostic counter: a fetch-cap overflow silently re-runs the ENTIRE
-# iteration loop at full fetch (~2x that master's device time), so perf
-# regressions could hide as correctness retries — bench.py reports it.
+# Diagnostic counter: a fetch-cap overflow pulls the full (G, TILE,
+# LANES) path tensor over the slow d2h link instead of the compact
+# rows, so perf regressions could hide here — bench.py reports it.
 FETCH_RETRIES = [0]
 
 
@@ -236,12 +237,15 @@ def _loop_pieces(scan, traceback, ngroups: int, nb_pad: int,
         # (stable sort by emptiness keeps rows position-ordered);
         # positions are implied by the symbol sequence, and the packed
         # len | dist << 9 format is exactly what the host decode reads.
+        # best_pe is ALSO returned (device-resident, never transferred
+        # unless read): a lane overflowing fetch_cap pulls it instead
+        # of re-running the whole iteration loop at full fetch.
         empty = (best_pe == 0).astype(jnp.int32)        # (G, TILE, LANES)
         _, pe_c = jax.lax.sort(
             (empty, best_pe), num_keys=1, is_stable=True, dimension=1)
         nsym = jnp.sum(1 - empty, axis=1)               # (G, LANES)
         packed = pe_c[:, :fetch_cap, :]
-        return best_cost, best_sll, best_sd, nsym, packed
+        return best_cost, best_sll, best_sd, nsym, packed, best_pe
 
     return make_body, init_state, finish
 
@@ -288,7 +292,8 @@ def _make_run_all(scan, traceback, ngroups: int, nb_pad: int,
                       P(), P(), P(), P())
         STATE_SPECS = (P(), P(), P(), P(), P(), P(), P(), P(),
                        P(ax, None, None))
-        OUT_SPECS = (P(), P(), P(), P(ax, None), P(ax, None, None))
+        OUT_SPECS = (P(), P(), P(), P(ax, None), P(ax, None, None),
+                     P(ax, None, None))
 
         def smap(fn, in_specs, out_specs):
             return shard_map(fn, mesh=mesh, in_specs=in_specs,
@@ -541,9 +546,9 @@ class FusedSqueeze:
             for i in range(5))
         # Compact-fetch cap: the seed program predicts per-lane path
         # rows exactly (seed parses bound the stat parses' density in
-        # practice, with 1.5x headroom + the FetchOverflow retry as the
-        # guarantee) — dense masters dispatch with a full-TILE fetch up
-        # front instead of running the whole loop twice.
+        # practice, with 1.5x headroom; overflow pulls the raw path
+        # tensor) — dense masters dispatch with a full-TILE fetch up
+        # front to keep even that pull compact.
         self.default_fetch_cap = TILE // 2
         self._blk_oh = jnp.asarray(blk_oh)
         self._tile_block_d = jnp.asarray(
@@ -559,8 +564,8 @@ class FusedSqueeze:
         seed_ll: (nb, 288) counts, seed_d: (nb, 32).
         Returns (parses, best_cost, best_sll, best_sd): parses is a
         list of (litlens, dists) uint16 arrays per global block.
-        Raises FetchOverflow if any lane's path exceeds fetch_cap rows
-        (caller retries with fetch_cap=TILE).
+        Lanes exceeding fetch_cap rows fall back to pulling the raw
+        device-resident path tensor (FETCH_RETRIES counts it).
         """
         return self.collect(self.dispatch(seed_ll, seed_d, numiterations))
 
@@ -642,19 +647,20 @@ class FusedSqueeze:
 
     def collect(self, handle):
         """Block on a dispatch() handle and decode the parses."""
-        ((best_cost, best_sll, best_sd, nsym, packed),
+        ((best_cost, best_sll, best_sd, nsym, packed, best_pe),
          seed_ll, seed_d, numiterations, fetch_cap) = handle
 
         nsym_h = np.asarray(nsym).reshape(-1)        # (G*LANES,)
-        if (nsym_h[:self.nt] > fetch_cap).any():
-            if fetch_cap >= TILE:
-                raise FetchOverflow()
-            # Dense parses (incompressible data): retry with full fetch.
+        over = (nsym_h[:self.nt] > fetch_cap).any()
+        if over:
+            # Dense parses (e.g. a dense master sharing a chunk with
+            # text): pull the device-resident raw path tensor instead
+            # of re-running the whole iteration loop at full fetch
+            # (the pre-r5 retry doubled the chunk's device time).
             FETCH_RETRIES[0] += 1
-            return self.collect(self.dispatch(seed_ll, seed_d,
-                                              numiterations,
-                                              fetch_cap=TILE))
-        packed_h = np.asarray(packed)                # (G, fetch_cap, LANES)
+            pe_h = np.asarray(best_pe)               # (G, TILE, LANES)
+        else:
+            packed_h = np.asarray(packed)            # (G, cap, LANES)
         cost_all = np.asarray(best_cost)[:self.nb_total]
         best_sll = np.asarray(best_sll)
         best_sd = np.asarray(best_sd)
@@ -663,8 +669,12 @@ class FusedSqueeze:
             lit_parts, dist_parts = [], []
             for t in tiles:
                 g, lane = divmod(t, LANES)
-                k = int(nsym_h[t])
-                rows = packed_h[g, :k, lane].astype(np.int64)
+                if over:
+                    rows = pe_h[g, :, lane]
+                    rows = rows[rows != 0].astype(np.int64)
+                else:
+                    k = int(nsym_h[t])
+                    rows = packed_h[g, :k, lane].astype(np.int64)
                 pl = rows & 0x1FF
                 pd = rows >> 9
                 # Positions are implied: literal rows step 1 (pl == 1),
